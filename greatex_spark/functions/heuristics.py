@@ -1,0 +1,192 @@
+"""Gopher/C4-style quality heuristics as native Column expressions.
+
+Every feature here is a pure ``pyspark.sql.functions`` expression —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path (the
+generalization of the reference's per-row pandas transforms at
+``/root/reference/dags/transformations.py:15-17`` to vectorized form,
+per BASELINE.json "no per-row Python").
+
+Rules follow the published heuristics:
+- C4 (Raffel et al. 2020): min words per doc, terminal punctuation,
+  "javascript"/brace/lorem-ipsum filters.
+- Gopher (Rae et al. 2021): word count band, mean word length band,
+  symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+  fraction, stopword count, duplicate n-gram fraction.
+
+Each heuristic is also available as a declarative expectation (via
+``expect_values_to_satisfy_expression``) so a quality gate is just a
+Suite — see :func:`gopher_quality_suite`.
+
+Scale: all features are computed in ONE projection over the text
+column; there are no shuffles, no UDFs, and Parquet column pruning
+means only ``text`` is read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from greatex_spark.expectations.spec import E, Expectation, Suite
+
+# Gopher's required-stopword list (Rae et al. 2021 §A1.1 uses common
+# English function words; this fixed set is our engine's spec).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+DEFAULT_THRESHOLDS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_length": 3.0,
+    "max_mean_word_length": 10.0,
+    "max_symbol_to_word_ratio": 0.10,
+    "max_bullet_line_fraction": 0.90,
+    "max_ellipsis_line_fraction": 0.30,
+    "min_alpha_word_fraction": 0.80,
+    "min_stopword_count": 2,
+    "max_dup_2gram_fraction": 0.20,
+    "max_dup_3gram_fraction": 0.18,
+    "min_chars": 200,
+    "max_chars": 1_000_000,
+}
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization with empty tokens dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+
+
+def ngrams_col(words: Column, n: int) -> Column:
+    """Word n-grams via a sequence transform — native HOFs, no UDF."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(words: Column, n: int) -> Column:
+    """Fraction of n-grams that are repeats of an earlier n-gram
+    (our deterministic variant of Gopher's duplicate-n-gram rule)."""
+    grams = ngrams_col(words, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(grams))).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """All heuristic features as named Columns over one text column."""
+    words = words_col(text)
+    n_words = F.size(words)
+    nw = F.when(n_words > 0, n_words).otherwise(F.lit(1))  # div-by-zero guard
+    lines = F.split(text, r"\n")
+    n_lines = F.when(F.size(lines) > 0, F.size(lines)).otherwise(F.lit(1))
+
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([\*\-•▪●]|\d+[\.\)])"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+
+    return {
+        "n_chars": F.length(text).cast("long"),
+        "n_words": n_words.cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "mean_word_length": word_chars.cast("double") / nw,
+        "symbol_to_word_ratio": (
+            F.regexp_count(text, F.lit(r"(#|\.\.\.|…)")).cast("double") / nw
+        ),
+        "stopword_count": F.size(
+            F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+        ).cast("long"),
+        "alpha_word_fraction": alpha_words.cast("double") / nw,
+        "bullet_line_fraction": bullet_lines.cast("double") / n_lines,
+        "ellipsis_line_fraction": ellipsis_lines.cast("double") / n_lines,
+        "dup_2gram_fraction": dup_ngram_fraction(words, 2),
+        "dup_3gram_fraction": dup_ngram_fraction(words, 3),
+        "ends_with_terminal_punct": F.trim(text).rlike(r'[.!?"”]$'),
+        "has_brace": text.contains("{"),
+        "has_lorem_ipsum": F.lower(text).contains("lorem ipsum"),
+        "has_javascript": F.lower(text).contains("javascript"),
+    }
+
+
+def with_quality_features(
+    df: DataFrame, text_col: str = "text", prefix: str = "qf_"
+) -> DataFrame:
+    """Project all heuristic features next to the existing columns."""
+    feats = quality_features(F.col(text_col))
+    return df.select("*", *[c.alias(prefix + name) for name, c in feats.items()])
+
+
+def gopher_keep_condition(
+    text_col: str = "text", thresholds: dict[str, float] | None = None
+) -> Column:
+    """Single boolean keep/drop Column fusing every heuristic rule."""
+    t = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
+    f = quality_features(F.col(text_col))
+    return (
+        (f["n_chars"] >= t["min_chars"])
+        & (f["n_chars"] <= t["max_chars"])
+        & (f["n_words"] >= t["min_words"])
+        & (f["n_words"] <= t["max_words"])
+        & (f["mean_word_length"] >= t["min_mean_word_length"])
+        & (f["mean_word_length"] <= t["max_mean_word_length"])
+        & (f["symbol_to_word_ratio"] <= t["max_symbol_to_word_ratio"])
+        & (f["bullet_line_fraction"] <= t["max_bullet_line_fraction"])
+        & (f["ellipsis_line_fraction"] <= t["max_ellipsis_line_fraction"])
+        & (f["alpha_word_fraction"] >= t["min_alpha_word_fraction"])
+        & (f["stopword_count"] >= t["min_stopword_count"])
+        & (f["dup_2gram_fraction"] <= t["max_dup_2gram_fraction"])
+        & (f["dup_3gram_fraction"] <= t["max_dup_3gram_fraction"])
+    )
+
+
+def gopher_quality_suite(
+    text_col: str = "text",
+    mostly: float = 0.0,
+    thresholds: dict[str, float] | None = None,
+) -> Suite:
+    """The heuristic rules as a declarative expectation suite — one
+    row-level expectation per rule, all fused into one agg by the
+    compiler.  ``mostly`` is the fraction of docs that must pass each
+    rule for the *gate* to succeed (0.0 = report-only)."""
+    t = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
+
+    def rule(name: str, expr: str) -> Expectation:
+        return E(
+            "expect_values_to_satisfy_expression",
+            expression=expr,
+            mostly=mostly,
+            rule_name=name,
+        )
+
+    c = text_col
+    nw = f"size(filter(split({c}, '\\\\s+'), w -> w != ''))"
+    return Suite.of(
+        f"gopher_quality_{text_col}",
+        rule("min_chars", f"length({c}) >= {t['min_chars']}"),
+        rule("word_count_band", f"{nw} between {int(t['min_words'])} and {int(t['max_words'])}"),
+        rule(
+            "mean_word_length_band",
+            f"aggregate(filter(split({c}, '\\\\s+'), w -> w != ''), 0L, "
+            f"(acc, w) -> acc + length(w)) / greatest({nw}, 1) "
+            f"between {t['min_mean_word_length']} and {t['max_mean_word_length']}",
+        ),
+        rule(
+            "symbol_to_word_ratio",
+            f"regexp_count({c}, '(#|\\\\.\\\\.\\\\.)') / greatest({nw}, 1) "
+            f"<= {t['max_symbol_to_word_ratio']}",
+        ),
+        rule(
+            "min_stopwords",
+            "size(filter(split(lower(" + c + "), '\\\\s+'), w -> w in ("
+            + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+            + f"))) >= {int(t['min_stopword_count'])}",
+        ),
+    )

