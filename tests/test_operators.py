@@ -1,0 +1,171 @@
+"""Tests for dedup / ANN / multimodal operators."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from greatex_spark.operators.ann import (
+    brute_force_topk,
+    cosine,
+    embedding_cosine_dedup,
+    lsh_topk,
+)
+from greatex_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard,
+    ngram_jaccard_dedup,
+    simhash64,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the old hills and the river keeps moving toward the distant sea "
+    "carrying leaves and small branches from the autumn forest floor"
+)
+NEAR_DUP = BASE.replace("autumn", "winter")  # one-word change
+DIFFERENT = (
+    "completely unrelated content about database engines and query planners "
+    "discussing join strategies shuffle partitions and adaptive execution "
+    "with no overlap in the underlying shingle space whatsoever at all"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, NEAR_DUP),
+        (2, DIFFERENT),
+        (3, BASE),  # exact dup of 0
+        (4, "  The   quick brown fox jumps over the lazy dog while the sun sets slowly "
+            "behind the old hills and the river keeps moving toward the distant sea "
+            "carrying leaves and small branches from the autumn forest floor  "),
+        # normalized-exact dup of 0 (case/whitespace)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [0, 1, 2]  # 3 and 4 are exact/normalized dups of 0
+
+
+def test_minhash_signature_deterministic(docs):
+    a = docs.select(minhash_signature("text", 16).alias("s")).collect()
+    b = docs.repartition(5).select(minhash_signature("text", 16).alias("s")).collect()
+    assert sorted(map(str, (r.s for r in a))) == sorted(map(str, (r.s for r in b)))
+
+
+def test_minhash_lsh_dedup(docs):
+    kept = sorted(r.doc_id for r in minhash_lsh_dedup(docs).collect())
+    # near-dup 1 collapses into 0 with high probability at r=4,b=16
+    assert kept == [0, 2]
+
+
+def test_simhash_near_dup(docs):
+    rows = {r.doc_id: r.h for r in docs.select("doc_id", simhash64("text").alias("h")).collect()}
+    ham = bin(rows[0] ^ rows[1]).count("1")
+    assert ham <= 6  # near-dup → small hamming distance
+    assert rows[0] == rows[3]  # exact dup → identical simhash
+    assert bin(rows[0] ^ rows[2]).count("1") > 10
+    kept = sorted(r.doc_id for r in simhash_dedup(docs).collect())
+    assert 0 in kept and 2 in kept and 3 not in kept
+
+
+def test_ngram_jaccard_pairwise(spark):
+    df = spark.createDataFrame([(BASE, NEAR_DUP), (BASE, DIFFERENT)], "a string, b string")
+    sims = [r.s for r in df.select(ngram_jaccard("a", "b").alias("s")).collect()]
+    assert sims[0] > 0.7
+    assert sims[1] == 0.0
+
+
+def test_ngram_jaccard_dedup(docs):
+    kept = sorted(r.doc_id for r in ngram_jaccard_dedup(docs, threshold=0.5).collect())
+    assert kept == [0, 2]
+
+
+def test_brute_force_topk_vs_duckdb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50).cache()
+    got = brute_force_topk(emb, emb, k=3).orderBy("query_id", "rank").collect()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH e AS (SELECT vec_id, embedding FROM
+                   (SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')
+                    ORDER BY vec_id LIMIT 50)),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6) AS score
+              FROM e q JOIN e c ON q.vec_id != c.vec_id),
+        r AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 3
+        ORDER BY query_id, rank
+        """
+    ).fetchall()
+    got_t = [(r.query_id, r.neighbor_id, r.rank, r.score) for r in got]
+    # limit(50) on Spark side is order-dependent; both sides take vec_id<50 set
+    assert len(got_t) == len(want)
+    mismatches = [
+        (g, w) for g, w in zip(got_t, want) if g[:3] != w[:3] or abs(g[3] - w[3]) > 1e-6
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    exact = brute_force_topk(emb, emb, k=5)
+    approx = lsh_topk(emb, emb, dim=64, k=5, num_bits=4)
+    pairs_exact = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    pairs_approx = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(pairs_exact & pairs_approx) / len(pairs_exact)
+    # random vectors are the worst case for LSH; multi-probe over 4-bit
+    # buckets probes 5/16 of the space → recall well above that floor
+    assert recall > 0.3, recall
+    assert pairs_approx  # non-empty
+
+
+def test_embedding_cosine_dedup(spark):
+    base = [float(i) for i in range(8)]
+    near = [float(i) + (0.001 if i == 0 else 0.0) for i in range(8)]
+    far = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    kept = sorted(
+        r.vec_id for r in embedding_cosine_dedup(df, dim=8, num_bits=4).collect()
+    )
+    assert kept == [0, 2]
+
+
+def test_multimodal_plumbing(spark):
+    from greatex_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12).cache()
+    feats = extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r.features) == 16 for r in feats)
+    # deterministic under repartitioning
+    feats2 = extract_features(media.repartition(7)).collect()
+    assert {r.media_id: r.features for r in feats2} == {
+        r.media_id: r.features for r in feats
+    }
+
+    resized = resize_images(media.where("kind = 'image'"), 64, 64).collect()
+    assert all(r.meta.width == 64 and r.meta.height == 64 for r in resized)
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    vids = media.where("kind = 'video'").count()
+    assert len(frames) == vids * 4  # 3500ms / 1000ms → 4 samples (0,1,2,3s)
+    assert all(len(r.frame) == 32 for r in frames)
