@@ -68,12 +68,49 @@ def minhash_signature(
     text: Column | str, num_perm: int = 64, shingle_k: int = 5
 ) -> Column:
     """Array of ``num_perm`` min-hashes.  Permutation *i* is
-    ``xxhash64(lit(i), shingle)`` — independent hash functions from one
-    seeded family, evaluated entirely in codegen'd JVM expressions."""
+    ``xxhash64(lit(i), xxhash64(shingle))`` — independent hash
+    functions from one seeded family, evaluated entirely in codegen'd
+    JVM expressions.
+
+    The base shingle-hash array is **let-bound** by wrapping it in a
+    single-element array and transforming over it: the lambda variable
+    is evaluated once per row, so the (expensive) shingling +
+    string-hash pass runs 1×, and the ``num_perm`` permutations only
+    re-hash cheap longs.  Without this, Catalyst inlines the shingle
+    expression into every permutation lambda — a measured ~50× blowup."""
     sh = shingles_col(text, shingle_k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    return F.element_at(
+        F.transform(
+            F.array(base),
+            lambda bh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                lambda i: F.array_min(F.transform(bh, lambda b: F.xxhash64(i, b))),
+            ),
+        ),
+        1,
+    )
+
+
+def band_hashes(
+    text: Column | str,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+) -> Column:
+    """LSH band-bucket hashes: the signature is let-bound (see
+    :func:`minhash_signature`) so it is computed once, not per band."""
+    r = num_perm // num_bands
+    sig = minhash_signature(text, num_perm, shingle_k)
+    return F.element_at(
+        F.transform(
+            F.array(sig),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(b, F.array_join(F.slice(s, b * r + 1, r), ",")),
+            ),
+        ),
+        1,
     )
 
 
@@ -93,17 +130,10 @@ def minhash_lsh_dedup(
     if num_perm % num_bands:
         raise ValueError("num_perm must be divisible by num_bands")
     rows_per_band = num_perm // num_bands
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_k)
-
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), ",")
-                ),
-            )
+            band_hashes(F.col(text_col), num_perm, num_bands, shingle_k)
         ).alias("__band", "__bucket"),
     )
     w = Window.partitionBy("__band", "__bucket")
@@ -210,19 +240,12 @@ def ngram_jaccard_dedup(
     drop a row iff a lower-id candidate has Jaccard ≥ threshold.  The
     verify join only materializes candidate pairs (bucket co-members),
     never the quadratic cross product."""
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_k=n)
-    rows_per_band = num_perm // num_bands
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__text"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), ",")
-                ),
-            )
-        ).alias("__bucket"),
+        F.explode(band_hashes(F.col(text_col), num_perm, num_bands, shingle_k=n)).alias(
+            "__bucket"
+        ),
     )
     left = banded.alias("l")
     right = banded.alias("r")

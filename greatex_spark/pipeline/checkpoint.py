@@ -1,0 +1,134 @@
+"""Checkpoint = (batch reference × suite × actions) — the validation
+gate between pipeline stages.
+
+Recasts the reference's checkpoint YAML + CLI-subprocess executor
+(``/root/reference/dags/validation.py:12-53``,
+``great_expectations/checkpoints/retail_source_checkpoint.yml``) as one
+library call: resolve the batch, run the fused-agg suite, persist
+typed metrics/lineage rows (replacing the Postgres JSON store + the
+shredding trigger at ``/root/reference/database-setup/storedb.sql:33-75``),
+and raise :class:`GateFailed` to halt downstream stages on failure —
+the AirflowException equivalent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from greatex_spark.expectations.compiler import GateFailed, ValidationResult, run_suite
+from greatex_spark.expectations.spec import Suite
+from greatex_spark.tables import Catalog
+
+METRICS_TABLE = "metrics"
+LINEAGE_TABLE = "partition_lineage"
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("expectation_suite_name", T.StringType()),
+        T.StructField("expectation_name", T.StringType()),
+        T.StructField("expectation_column", T.StringType()),
+        T.StructField("run_name", T.StringType()),
+        T.StructField("batch_identifier", T.StringType()),
+        T.StructField("element_count", T.LongType()),
+        T.StructField("unexpected_count", T.LongType()),
+        T.StructField("unexpected_percent", T.DoubleType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("successful_outcome", T.BooleanType()),
+        T.StructField("success_percent", T.DoubleType()),
+        T.StructField("evaluated_expectations", T.IntegerType()),
+        T.StructField("run_time", T.TimestampType()),
+        T.StructField("end_time", T.TimestampType()),
+        T.StructField("duration", T.DoubleType()),
+        T.StructField("checkpoint_epoch", T.LongType()),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType()),
+        T.StructField("checkpoint_epoch", T.LongType()),
+        T.StructField("run_name", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("row_count", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class Checkpoint:
+    name: str
+    suite: Suite
+    store_metrics: bool = True
+    raise_on_failure: bool = True
+    collect_partial_unexpected: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+def store_metrics(
+    spark: SparkSession,
+    catalog: Catalog,
+    validation: ValidationResult,
+    epoch: int,
+) -> None:
+    rows = [
+        {
+            k: v
+            for k, v in r.items()
+            if k in {f.name for f in METRICS_SCHEMA.fields}
+        }
+        | {"checkpoint_epoch": epoch}
+        for r in validation.to_metrics_rows()
+    ]
+    catalog.append(spark.createDataFrame(rows, METRICS_SCHEMA), METRICS_TABLE)
+
+
+def store_partition_lineage(
+    spark: SparkSession,
+    catalog: Catalog,
+    df: DataFrame,
+    table_name: str,
+    epoch: int,
+    run_name: str,
+) -> None:
+    """Per-partition row counts for the committed snapshot — the
+    per-partition lineage artifact required by BASELINE.json.  One
+    narrow aggregation; partition id comes from the physical layout."""
+    lineage = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            F.lit(epoch).cast("long").alias("checkpoint_epoch"),
+            F.lit(run_name).alias("run_name"),
+            F.col("partition_id"),
+            F.col("row_count"),
+        )
+    )
+    catalog.append(spark.createDataFrame(lineage.collect(), LINEAGE_SCHEMA), LINEAGE_TABLE)
+
+
+def run_checkpoint(
+    spark: SparkSession,
+    df: DataFrame,
+    checkpoint: Checkpoint,
+    catalog: Catalog | None = None,
+    epoch: int = 0,
+    run_name: str | None = None,
+    batch_identifier: str = "",
+) -> ValidationResult:
+    validation = run_suite(
+        df,
+        checkpoint.suite,
+        run_name=run_name,
+        batch_identifier=batch_identifier or checkpoint.name,
+        collect_partial_unexpected=checkpoint.collect_partial_unexpected,
+    )
+    if checkpoint.store_metrics and catalog is not None:
+        store_metrics(spark, catalog, validation, epoch)
+    if checkpoint.raise_on_failure and not validation.success:
+        raise GateFailed(validation)
+    return validation

@@ -1,0 +1,168 @@
+"""The staged, gated, resumable pipeline — EP1 recast.
+
+Reference flow (``/root/reference/dags/retail_data_pipeline.py:110-122``):
+validate source → extract → validate raw → transform → validate stage
+→ load → validate warehouse → final transform → validate dest.
+
+Here: four snapshot tables, a gate after each write, all inside one
+SparkSession:
+
+    bronze (pages)          ← gate: source_suite (schema, url unique,
+                                     extraction byte-identity)
+    silver (featurized)     ← gate: silver_suite
+    kept   (filter + dedup) ← gate: kept_suite (keep-rate corridor)
+    gold   (public columns) ← gate: gold_suite (no residual PII)
+
+Resumability (BASELINE.json "resumable from the last committed
+snapshot"): each stage's output is committed to the catalog under the
+run's ``epoch``; on re-run with ``resume=True`` any stage whose epoch
+is already committed is *skipped* — the run picks up exactly after
+the last committed snapshot.  Re-running a completed epoch is
+idempotent: snapshots are replaced, not appended (the reference's
+DROP-and-recreate idempotency, without losing history).
+
+Gates validate the *committed* parquet (read back), not the in-memory
+plan — what was validated is exactly what the next stage reads.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from greatex_spark.expectations.compiler import ValidationResult
+from greatex_spark.pipeline.checkpoint import (
+    Checkpoint,
+    run_checkpoint,
+    store_partition_lineage,
+)
+from greatex_spark.pipeline.stages import (
+    PipelineConfig,
+    dedup,
+    featurize,
+    filter_kept,
+    gold_projection,
+)
+from greatex_spark.pipeline import suites as S
+from greatex_spark.tables import Catalog
+
+BRONZE, SILVER, KEPT, GOLD = "pages_bronze", "pages_silver", "pages_kept", "pages_gold"
+
+
+@dataclass
+class PipelineResult:
+    run_name: str
+    epoch: int
+    validations: dict[str, ValidationResult] = field(default_factory=dict)
+    counts: dict[str, int] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
+
+    def summary(self) -> dict[str, Any]:
+        return {
+            "run_name": self.run_name,
+            "epoch": self.epoch,
+            "counts": dict(self.counts),
+            "skipped": list(self.skipped),
+            "gates": {
+                k: v.statistics["success_percent"] for k, v in self.validations.items()
+            },
+        }
+
+
+def _stage(
+    spark: SparkSession,
+    catalog: Catalog,
+    result: PipelineResult,
+    table: str,
+    epoch: int,
+    resume: bool,
+    compute,
+    run_name: str,
+) -> DataFrame:
+    """Write-or-skip one stage, then return the committed snapshot."""
+    if resume and catalog.has_epoch(table, epoch):
+        result.skipped.append(table)
+    else:
+        df = compute()
+        catalog.write_snapshot(df, table, epoch)
+        committed = catalog.read_snapshot(spark, table, epoch)
+        store_partition_lineage(spark, catalog, committed, table, epoch, run_name)
+    return catalog.read_snapshot(spark, table, epoch)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    catalog: Catalog,
+    epoch: int,
+    source_df: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+    run_name: str | None = None,
+    resume: bool = True,
+) -> PipelineResult:
+    """Run (or resume) one epoch of the quality-filter pipeline.
+
+    ``source_df`` is required the first time an epoch runs; afterwards
+    the committed bronze snapshot is the source of truth and
+    ``source_df`` may be omitted.
+    """
+    config = config or PipelineConfig()
+    run_name = run_name or f"run-{uuid.uuid4().hex[:12]}"
+    result = PipelineResult(run_name=run_name, epoch=epoch)
+
+    # -- bronze ----------------------------------------------------------
+    if resume and catalog.has_epoch(BRONZE, epoch):
+        result.skipped.append(BRONZE)
+        bronze = catalog.read_snapshot(spark, BRONZE, epoch)
+    else:
+        if source_df is None:
+            raise ValueError(f"epoch {epoch} has no committed bronze; source_df required")
+        catalog.write_snapshot(source_df, BRONZE, epoch)
+        bronze = catalog.read_snapshot(spark, BRONZE, epoch)
+        store_partition_lineage(spark, catalog, bronze, BRONZE, epoch, run_name)
+    result.validations["source"] = run_checkpoint(
+        spark, bronze, Checkpoint("source", S.source_suite()), catalog, epoch,
+        run_name, f"{BRONZE}@{epoch}",
+    )
+    n_bronze = result.counts[BRONZE] = result.validations["source"].results[1].result[
+        "observed_value"
+    ]
+
+    # -- silver ----------------------------------------------------------
+    silver = _stage(
+        spark, catalog, result, SILVER, epoch, resume,
+        lambda: featurize(bronze, config), run_name,
+    )
+    result.validations["silver"] = run_checkpoint(
+        spark, silver, Checkpoint("silver", S.silver_suite()), catalog, epoch,
+        run_name, f"{SILVER}@{epoch}",
+    )
+
+    # -- kept (filter + dedup) --------------------------------------------
+    lo = int(n_bronze * config.keep_fraction_band[0])
+    hi = int(n_bronze * config.keep_fraction_band[1])
+    kept = _stage(
+        spark, catalog, result, KEPT, epoch, resume,
+        lambda: dedup(filter_kept(silver), config), run_name,
+    )
+    result.validations["kept"] = run_checkpoint(
+        spark, kept, Checkpoint("kept", S.kept_suite(lo, hi)), catalog, epoch,
+        run_name, f"{KEPT}@{epoch}",
+    )
+    result.counts[KEPT] = result.validations["kept"].results[0].result["observed_value"]
+
+    # -- gold --------------------------------------------------------------
+    gold = _stage(
+        spark, catalog, result, GOLD, epoch, resume,
+        lambda: gold_projection(kept), run_name,
+    )
+    result.validations["gold"] = run_checkpoint(
+        spark, gold, Checkpoint("gold", S.gold_suite(config.target_lang)), catalog,
+        epoch, run_name, f"{GOLD}@{epoch}",
+    )
+    result.counts[GOLD] = result.validations["gold"].results[1].result.get(
+        "element_count", result.counts[KEPT]
+    )
+    return result

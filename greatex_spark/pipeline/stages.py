@@ -1,0 +1,107 @@
+"""Pipeline stages as pure ``DataFrame -> DataFrame`` functions.
+
+The reference's task chain (EP1, ``/root/reference/dags/
+retail_data_pipeline.py:110-122``) moves one table through
+source → raw → stage → warehouse → public with a validation gate at
+each hop.  Here the hops are bronze → silver → kept → gold snapshots
+of the page table, and each stage is a single Spark projection/filter
+— no driver-side loops, no RDDs:
+
+- **featurize**: ONE projection computing every quality feature
+  (native exprs), the two model scores (Arrow pandas UDFs), the
+  language decision, the PII-scrubbed text and the final keep flag.
+- **filter_kept**: predicate on the precomputed flags.
+- **dedup**: MinHash-LSH near-duplicate removal keyed by url.
+- **gold_projection**: the public 5-column contract, scrubbed text
+  swapped in (the reference's 8→6-column final projection,
+  ``transform_load_retail_warehouse.sql:25-32``, recast).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from greatex_spark.functions.heuristics import (
+    DEFAULT_THRESHOLDS,
+    gopher_keep_condition,
+)
+from greatex_spark.functions.perplexity import log_perplexity_udf
+from greatex_spark.functions.pii import scrub_pii
+from greatex_spark.functions.textstats import (
+    bpe_token_count,
+    detect_lang,
+    fingerprint64,
+)
+
+
+@dataclass
+class PipelineConfig:
+    target_lang: str = "en"
+    ppl_threshold: float = 3.5
+    gopher_thresholds: dict = field(
+        default_factory=lambda: {**DEFAULT_THRESHOLDS, "max_words": 2000}
+    )
+    dedup: bool = True
+    minhash_num_perm: int = 64
+    minhash_num_bands: int = 16
+    # gate: fraction of bronze rows that must survive the keep filter
+    keep_fraction_band: tuple[float, float] = (0.25, 0.75)
+
+
+def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
+    """bronze → silver: all signals in one pass."""
+    keep_quality = gopher_keep_condition("text", config.gopher_thresholds)
+    lang_pred = detect_lang("text")
+    log_ppl = log_perplexity_udf(F.col("text"))
+    return df.select(
+        "*",
+        keep_quality.alias("keep_quality"),
+        lang_pred.alias("lang_pred"),
+        log_ppl.alias("log_ppl"),
+        scrub_pii("text").alias("text_scrubbed"),
+        fingerprint64("text").alias("fingerprint"),
+        bpe_token_count("text").alias("n_tokens"),
+    ).withColumn(
+        "keep",
+        F.col("keep_quality")
+        & (F.col("lang_pred") == F.lit(config.target_lang))
+        & F.col("log_ppl").isNotNull()
+        & (F.col("log_ppl") <= F.lit(config.ppl_threshold)),
+    )
+
+
+def filter_kept(df: DataFrame) -> DataFrame:
+    return df.where(F.col("keep"))
+
+
+def dedup(df: DataFrame, config: PipelineConfig) -> DataFrame:
+    if not config.dedup:
+        return df
+    from greatex_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        df,
+        text_col="text",
+        id_col="url",
+        num_perm=config.minhash_num_perm,
+        num_bands=config.minhash_num_bands,
+    )
+
+
+GOLD_COLUMNS = ["url", "warc_ts", "text", "lang", "n_tokens"]
+
+
+def gold_projection(df: DataFrame) -> DataFrame:
+    """kept → gold: scrubbed text becomes THE text; predicted language
+    becomes THE language (the stored ``lang`` hint is crawl metadata,
+    the decision is ours — CCNet-style)."""
+    return df.select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("text_scrubbed").alias("text"),
+        F.col("lang_pred").alias("lang"),
+        F.col("n_tokens"),
+    )

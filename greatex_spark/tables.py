@@ -1,0 +1,107 @@
+"""Snapshot-versioned table catalog over plain parquet.
+
+The reference moves one table through five physical stores with
+drop-and-recreate idempotency (``/root/reference/dags/scripts/sql/
+transform_load_retail_warehouse.sql:5-32``).  The Spark-first recast
+is a lake of snapshot-versioned tables: each write lands in its own
+``snapshot=<epoch>`` directory and a tiny JSON manifest is flipped
+atomically (``os.replace``) to commit it — Iceberg-style semantics
+(atomic replace, latest-snapshot query, time travel by epoch) without
+needing the Iceberg jar, behind an interface small enough to swap the
+real catalog in (SURVEY.md §7 "No Iceberg jar in sandbox").
+
+Guarantees used by the pipeline runner:
+- **atomic commit**: readers only see epochs listed in the manifest;
+  a killed write leaves an orphan directory, never a torn table.
+- **idempotent re-run**: re-writing the same epoch replaces the
+  snapshot directory and re-commits the same manifest entry.
+- **resume**: ``has_epoch`` lets the runner skip stages whose output
+  epoch is already committed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Catalog:
+    root: str
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_manifest.json")
+
+    def _snapshot_dir(self, name: str, epoch: int) -> str:
+        return os.path.join(self._table_dir(name), f"snapshot={epoch}")
+
+    def _read_manifest(self, name: str) -> dict:
+        path = self._manifest_path(name)
+        if not os.path.exists(path):
+            return {"committed_epochs": [], "latest": None}
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, name: str, manifest: dict) -> None:
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._table_dir(name), suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._manifest_path(name))  # atomic pointer flip
+
+    # ------------------------------------------------------------------
+
+    def write_snapshot(
+        self, df: DataFrame, name: str, epoch: int, partition_by: list[str] | None = None
+    ) -> None:
+        """Replace snapshot ``epoch`` of ``name`` and commit it."""
+        snap = self._snapshot_dir(name, epoch)
+        if os.path.exists(snap):
+            shutil.rmtree(snap)  # re-run of a committed epoch: replace
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap)
+        m = self._read_manifest(name)
+        if epoch not in m["committed_epochs"]:
+            m["committed_epochs"] = sorted(m["committed_epochs"] + [epoch])
+        m["latest"] = max(m["committed_epochs"])
+        self._commit_manifest(name, m)
+
+    def append(self, df: DataFrame, name: str) -> None:
+        """Append-only table (metrics / lineage): plain parquet append
+        under a single ``snapshot=0`` so readers need no manifest."""
+        df.write.mode("append").parquet(self._snapshot_dir(name, 0))
+        m = self._read_manifest(name)
+        if 0 not in m["committed_epochs"]:
+            m["committed_epochs"].append(0)
+            m["latest"] = 0
+            self._commit_manifest(name, m)
+
+    def has_epoch(self, name: str, epoch: int) -> bool:
+        return epoch in self._read_manifest(name)["committed_epochs"]
+
+    def latest_epoch(self, name: str) -> int | None:
+        return self._read_manifest(name)["latest"]
+
+    def read_snapshot(self, spark: SparkSession, name: str, epoch: int) -> DataFrame:
+        if not self.has_epoch(name, epoch):
+            raise FileNotFoundError(f"table {name!r} has no committed epoch {epoch}")
+        return spark.read.parquet(self._snapshot_dir(name, epoch))
+
+    def read_latest(self, spark: SparkSession, name: str) -> DataFrame:
+        """The ``index: -1`` latest-batch selection of the reference
+        (``/root/reference/great_expectations/checkpoints/
+        retail_source_checkpoint.yml:42-43``) as a manifest lookup."""
+        latest = self.latest_epoch(name)
+        if latest is None:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshots")
+        return self.read_snapshot(spark, name, latest)

@@ -1,0 +1,166 @@
+"""End-to-end pipeline tests: F1 vs planted labels, byte-identical
+scrub, idempotent re-run, kill-and-resume, metrics/lineage artifacts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from greatex_spark.expectations.compiler import GateFailed
+from greatex_spark.functions.pii import scrub_pii_py
+from greatex_spark.pages import generate_pages
+from greatex_spark.pipeline.runner import (
+    BRONZE,
+    GOLD,
+    KEPT,
+    SILVER,
+    run_pipeline,
+)
+from greatex_spark.pipeline.stages import PipelineConfig
+from greatex_spark.tables import Catalog
+
+N_PAGES = 2000
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    return generate_pages(spark, N_PAGES, include_labels=True).cache()
+
+
+@pytest.fixture(scope="module")
+def pages(labeled):
+    return labeled.select("url", "warc_ts", "html", "text", "lang")
+
+
+@pytest.fixture(scope="module")
+def completed(spark, tmp_path_factory, pages):
+    catalog = Catalog(str(tmp_path_factory.mktemp("lake")))
+    result = run_pipeline(spark, catalog, epoch=1, source_df=pages, run_name="r1")
+    return catalog, result
+
+
+def test_all_gates_pass(completed):
+    _, result = completed
+    assert all(v.success for v in result.validations.values()), result.summary()
+    assert result.counts[KEPT] > 0
+
+
+def test_keep_drop_f1(spark, completed, labeled):
+    catalog, _ = completed
+    gold = catalog.read_latest(spark, GOLD)
+    pred = labeled.join(
+        gold.select(F.col("url"), F.lit(True).alias("pred_keep")), "url", "left"
+    ).select("url", "expected_keep", F.coalesce("pred_keep", F.lit(False)).alias("pred"))
+    agg = pred.agg(
+        F.sum((F.col("expected_keep") & F.col("pred")).cast("int")).alias("tp"),
+        F.sum((~F.col("expected_keep") & F.col("pred")).cast("int")).alias("fp"),
+        F.sum((F.col("expected_keep") & ~F.col("pred")).cast("int")).alias("fn"),
+    ).collect()[0]
+    precision = agg.tp / (agg.tp + agg.fp)
+    recall = agg.tp / (agg.tp + agg.fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, (f1, agg.tp, agg.fp, agg.fn)
+
+
+def test_scrub_byte_identity_per_url(spark, completed, labeled):
+    """BASELINE.json: byte-identical scrubbed text per url — the gold
+    text must equal the standalone Python scrubber applied to the
+    original text, byte for byte."""
+    catalog, _ = completed
+    gold = catalog.read_latest(spark, GOLD)
+    joined = (
+        labeled.where(F.col("page_class") == "has_pii")
+        .select("url", F.col("text").alias("orig"))
+        .join(gold.select("url", "text"), "url")
+        .collect()
+    )
+    assert joined, "no PII docs survived to gold"
+    for r in joined:
+        assert r.text.encode() == scrub_pii_py(r.orig).encode(), r.url
+        assert "@example.com" not in r.text
+
+
+def test_gold_is_target_lang_only(spark, completed):
+    catalog, _ = completed
+    gold = catalog.read_latest(spark, GOLD)
+    assert gold.where(F.col("lang") != "en").count() == 0
+
+
+def test_near_dup_resolution(spark, completed, labeled):
+    catalog, _ = completed
+    gold = catalog.read_latest(spark, GOLD)
+    pairs = (
+        labeled.where(F.col("page_class") == "near_dup_pair")
+        .join(gold.select("url", F.lit(True).alias("kept")), "url", "left")
+        .select("url", "expected_keep", F.coalesce("kept", F.lit(False)).alias("kept"))
+        .collect()
+    )
+    for r in pairs:
+        assert r.kept == r.expected_keep, (r.url, r.expected_keep)
+
+
+def test_metrics_and_lineage_written(spark, completed):
+    catalog, result = completed
+    metrics = catalog.read_latest(spark, "metrics")
+    assert metrics.where(F.col("run_name") == "r1").count() >= 4 * 3  # 4 gates
+    suites = {
+        r.expectation_suite_name
+        for r in metrics.select("expectation_suite_name").distinct().collect()
+    }
+    assert {
+        "pages_source_suite",
+        "pages_silver_suite",
+        "pages_kept_suite",
+        "pages_gold_suite",
+    } <= suites
+    lineage = catalog.read_latest(spark, "partition_lineage")
+    ln = lineage.where(F.col("run_name") == "r1")
+    tables = {r.table_name for r in ln.select("table_name").distinct().collect()}
+    assert {BRONZE, SILVER, KEPT, GOLD} <= tables
+    # lineage row counts must reconcile with the committed snapshots
+    gold_rows = (
+        ln.where(F.col("table_name") == GOLD).agg(F.sum("row_count")).collect()[0][0]
+    )
+    assert gold_rows == catalog.read_latest(spark, GOLD).count()
+
+
+def test_idempotent_rerun(spark, completed, pages):
+    """Running the same epoch twice must not change the gold snapshot
+    (the reference's re-run idempotency, README.md:426-457)."""
+    catalog, _ = completed
+    gold1 = catalog.read_latest(spark, GOLD)
+    chk1 = gold1.agg(F.bit_xor(F.xxhash64("url", "text", "n_tokens")).alias("h")).collect()[0].h
+    n1 = gold1.count()
+    run_pipeline(spark, catalog, epoch=1, source_df=pages, run_name="r2", resume=False)
+    gold2 = catalog.read_latest(spark, GOLD)
+    chk2 = gold2.agg(F.bit_xor(F.xxhash64("url", "text", "n_tokens")).alias("h")).collect()[0].h
+    assert (n1, chk1) == (gold2.count(), chk2)
+
+
+def test_resume_skips_committed_stages(spark, completed, pages):
+    catalog, _ = completed
+    result = run_pipeline(spark, catalog, epoch=1, run_name="r3", resume=True)
+    assert set(result.skipped) == {BRONZE, SILVER, KEPT, GOLD}
+    assert all(v.success for v in result.validations.values())
+
+
+def test_gate_failure_halts_and_resume_completes(spark, tmp_path, pages):
+    catalog = Catalog(str(tmp_path / "lake2"))
+    # impossible keep corridor → the kept gate must fail AFTER bronze
+    # and silver committed
+    bad = PipelineConfig(keep_fraction_band=(0.95, 1.0))
+    with pytest.raises(GateFailed, match="pages_kept_suite"):
+        run_pipeline(spark, catalog, epoch=7, source_df=pages, config=bad, run_name="rA")
+    assert catalog.has_epoch(BRONZE, 7) and catalog.has_epoch(SILVER, 7)
+    assert not catalog.has_epoch(GOLD, 7)
+    # fix the config, resume: bronze/silver skipped, pipeline completes
+    result = run_pipeline(spark, catalog, epoch=7, config=PipelineConfig(), run_name="rB")
+    assert BRONZE in result.skipped and SILVER in result.skipped
+    assert catalog.has_epoch(GOLD, 7)
+    assert all(v.success for v in result.validations.values())
+
+
+def test_missing_bronze_requires_source(spark, tmp_path):
+    catalog = Catalog(str(tmp_path / "lake3"))
+    with pytest.raises(ValueError, match="source_df required"):
+        run_pipeline(spark, catalog, epoch=3)
