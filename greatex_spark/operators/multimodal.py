@@ -175,6 +175,31 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.mapInPandas(op, schema=out_schema)
 
 
+def media_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Wrap a text table as media rows (payload = utf-8 bytes, typed
+    metadata) — pure Column expressions, fully distributed; the ingest
+    shape a binary-asset pipeline uses when payloads arrive inline."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    kind = F.element_at(kinds, (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"))
+    mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
+    mime = F.element_at(mimes, (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"))
+    is_audio = kind == "audio"
+    is_image = kind == "image"
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.to_binary(F.col(text_col), F.lit("utf-8")).alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.when(~is_audio, F.lit(640)).alias("width"),
+            F.when(~is_audio, F.lit(480)).alias("height"),
+            F.when(~is_image, F.lit(3500)).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic in-repo media fixture: payload = sha256 stream of
     the id; kinds cycle image/audio/video."""
