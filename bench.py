@@ -1,0 +1,124 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): docs/sec end-to-end keep/drop + scrub
+on a Common-Crawl-style page table.  The page table is synthesized
+deterministically (greatex_spark.pages, seed=42) at a row count scaled
+to the sf of ``$SPARK_GRAFT_SF_DIR`` and committed to parquet (bronze);
+the timed section is bronze-read → featurize (heuristics + langid +
+perplexity UDF + PII scrub in one projection) → keep-filter → MinHash-
+LSH dedup → gold projection → parquet write.
+
+Also times the headline operators from ``__spark_entry__`` on the
+driver-provided tables at the same sf.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     GREATEX_BENCH_PAGES (override page count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from greatex_spark.session import get_spark  # noqa: E402
+from greatex_spark.pages import generate_pages  # noqa: E402
+from greatex_spark.pipeline.stages import (  # noqa: E402
+    PipelineConfig,
+    dedup,
+    featurize,
+    filter_kept,
+    gold_projection,
+)
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def sf_of(sf_dir: str) -> float:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_of(sf_dir)
+    n_pages = int(os.environ.get("GREATEX_BENCH_PAGES", int(1_000_000 * sf)))
+    spark = get_spark(app_name="greatex-bench")
+    tmp = tempfile.mkdtemp(prefix="greatex_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    try:
+        # ---- synthesize + commit bronze (not timed: ingest, not filter) --
+        bronze_path = os.path.join(tmp, "bronze")
+        generate_pages(spark, n_pages, seed=42).write.parquet(bronze_path)
+        bronze = spark.read.parquet(bronze_path)
+
+        # ---- headline: end-to-end keep/drop + scrub + dedup --------------
+        # staged exactly like the production runner: silver is committed
+        # before dedup, so the dedup self-join (a diamond over silver)
+        # reads the snapshot instead of recomputing featurize twice
+        cfg = PipelineConfig()
+        silver_path = os.path.join(tmp, "silver")
+        gold_path = os.path.join(tmp, "gold")
+
+        def run_pipeline():
+            featurize(bronze, cfg).write.mode("overwrite").parquet(silver_path)
+            silver = spark.read.parquet(silver_path)
+            gold = gold_projection(dedup(filter_kept(silver), cfg))
+            gold.write.mode("overwrite").parquet(gold_path)
+
+        timed("pages_pipeline", run_pipeline)
+        docs_per_sec = round(n_pages / timings["pages_pipeline"], 1)
+        kept_rows = spark.read.parquet(gold_path).count()
+
+        # ---- operator headliners on the sf tables ------------------------
+        qs = entrymod.queries()
+
+        def noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        timed("q1_lineitem_pricing", lambda: qs["q1_lineitem_pricing"](spark, sf_dir).collect())
+        timed("suite_documents_gate", lambda: qs["suite_documents_gate"](spark, sf_dir).collect())
+        timed("doc_pii_scrub", lambda: noop(qs["doc_pii_scrub"](spark, sf_dir)))
+        timed("doc_minhash_dedup", lambda: noop(qs["doc_minhash_dedup"](spark, sf_dir)))
+        timed("doc_langid", lambda: noop(qs["doc_langid"](spark, sf_dir)))
+        timed("ann_brute_topk", lambda: qs["ann_brute_topk"](spark, sf_dir).collect())
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "end_to_end pages pipeline (keep/drop + scrub + dedup)",
+                    "value": timings["pages_pipeline"],
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "pages": n_pages,
+                    "kept": kept_rows,
+                    "docs_per_sec": docs_per_sec,
+                    "total_sec": total,
+                    "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,53 +75,101 @@ def dup_ngram_fraction(words: Column, n: int) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    """All heuristic features as named Columns over one text column."""
-    words = words_col(text)
-    n_words = F.size(words)
-    nw = F.when(n_words > 0, n_words).otherwise(F.lit(1))  # div-by-zero guard
-    lines = F.split(text, r"\n")
-    n_lines = F.when(F.size(lines) > 0, F.size(lines)).otherwise(F.lit(1))
+FEATURE_NAMES = (
+    "n_chars", "n_words", "n_lines", "mean_word_length", "symbol_to_word_ratio",
+    "stopword_count", "alpha_word_fraction", "bullet_line_fraction",
+    "ellipsis_line_fraction", "dup_2gram_fraction", "dup_3gram_fraction",
+    "ends_with_terminal_punct", "has_brace", "has_lorem_ipsum", "has_javascript",
+)
 
-    word_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+
+from greatex_spark.functions.exprs import let as _let  # noqa: E402
+
+
+def _dup_fraction_of(grams: Column) -> Column:
+    return _let(
+        grams,
+        lambda g: F.when(
+            F.size(g) > 0,
+            (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(g),
+        ).otherwise(F.lit(0.0)),
     )
+
+
+def quality_struct(text: Column) -> Column:
+    """ALL heuristic features as one struct Column, tokenizing exactly
+    once per row.  Extract fields in a *separate* projection so the
+    struct itself is evaluated once (CollapseProject keeps non-cheap
+    producers used more than once in their own projection)."""
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    bullet_lines = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([\*\-•▪●]|\d+[\.\)])"))
-    )
-    ellipsis_lines = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
 
-    return {
-        "n_chars": F.length(text).cast("long"),
-        "n_words": n_words.cast("long"),
-        "n_lines": F.size(lines).cast("long"),
-        "mean_word_length": word_chars.cast("double") / nw,
-        "symbol_to_word_ratio": (
-            F.regexp_count(text, F.lit(r"(#|\.\.\.|…)")).cast("double") / nw
-        ),
-        "stopword_count": F.size(
-            F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
-        ).cast("long"),
-        "alpha_word_fraction": alpha_words.cast("double") / nw,
-        "bullet_line_fraction": bullet_lines.cast("double") / n_lines,
-        "ellipsis_line_fraction": ellipsis_lines.cast("double") / n_lines,
-        "dup_2gram_fraction": dup_ngram_fraction(words, 2),
-        "dup_3gram_fraction": dup_ngram_fraction(words, 3),
-        "ends_with_terminal_punct": F.trim(text).rlike(r'[.!?"”]$'),
-        "has_brace": text.contains("{"),
-        "has_lorem_ipsum": F.lower(text).contains("lorem ipsum"),
-        "has_javascript": F.lower(text).contains("javascript"),
-    }
+    def build(words: Column, lines: Column) -> Column:
+        n_words = F.size(words)
+        nw = F.when(n_words > 0, n_words).otherwise(F.lit(1))
+        n_lines = F.when(F.size(lines) > 0, F.size(lines)).otherwise(F.lit(1))
+        word_chars = F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        return F.struct(
+            F.length(text).cast("long").alias("n_chars"),
+            n_words.cast("long").alias("n_words"),
+            F.size(lines).cast("long").alias("n_lines"),
+            (word_chars.cast("double") / nw).alias("mean_word_length"),
+            (F.regexp_count(text, F.lit(r"(#|\.\.\.|…)")).cast("double") / nw).alias(
+                "symbol_to_word_ratio"
+            ),
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+            .cast("long")
+            .alias("stopword_count"),
+            (
+                F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+                / nw
+            ).alias("alpha_word_fraction"),
+            (
+                F.size(
+                    F.filter(
+                        lines, lambda ln: F.trim(ln).rlike(r"^([\*\-•▪●]|\d+[\.\)])")
+                    )
+                ).cast("double")
+                / n_lines
+            ).alias("bullet_line_fraction"),
+            (
+                F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+                .cast("double")
+                / n_lines
+            ).alias("ellipsis_line_fraction"),
+            _dup_fraction_of(ngrams_col(words, 2)).alias("dup_2gram_fraction"),
+            _dup_fraction_of(ngrams_col(words, 3)).alias("dup_3gram_fraction"),
+            F.trim(text).rlike(r'[.!?"”]$').alias("ends_with_terminal_punct"),
+            text.contains("{").alias("has_brace"),
+            F.lower(text).contains("lorem ipsum").alias("has_lorem_ipsum"),
+            F.lower(text).contains("javascript").alias("has_javascript"),
+        )
+
+    return _let(
+        words_col(text), lambda words: _let(F.split(text, r"\n"), lambda lines: build(words, lines))
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """All heuristic features as named Columns over one text column.
+
+    Each dict value carries its own copy of the (let-bound) struct — fine
+    for picking a few features; to materialize MANY features, prefer
+    :func:`with_quality_features` (struct evaluated once per row)."""
+    qs = quality_struct(text)
+    return {name: qs[name] for name in FEATURE_NAMES}
 
 
 def with_quality_features(
     df: DataFrame, text_col: str = "text", prefix: str = "qf_"
 ) -> DataFrame:
-    """Project all heuristic features next to the existing columns."""
-    feats = quality_features(F.col(text_col))
-    return df.select("*", *[c.alias(prefix + name) for name, c in feats.items()])
+    """Project all heuristic features next to the existing columns —
+    two-step projection: struct once, then field extraction."""
+    tagged = df.select("*", quality_struct(F.col(text_col)).alias("__qs"))
+    return tagged.select(
+        *df.columns, *[F.col(f"__qs.{name}").alias(prefix + name) for name in FEATURE_NAMES]
+    )
 
 
 def gopher_keep_condition(
@@ -129,9 +177,9 @@ def gopher_keep_condition(
 ) -> Column:
     """Single boolean keep/drop Column fusing every heuristic rule."""
     t = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
-    f = quality_features(F.col(text_col))
-    return (
-        (f["n_chars"] >= t["min_chars"])
+    return _let(
+        quality_struct(F.col(text_col)),
+        lambda f: (f["n_chars"] >= t["min_chars"])
         & (f["n_chars"] <= t["max_chars"])
         & (f["n_words"] >= t["min_words"])
         & (f["n_words"] <= t["max_words"])
@@ -143,7 +191,7 @@ def gopher_keep_condition(
         & (f["alpha_word_fraction"] >= t["min_alpha_word_fraction"])
         & (f["stopword_count"] >= t["min_stopword_count"])
         & (f["dup_2gram_fraction"] <= t["max_dup_2gram_fraction"])
-        & (f["dup_3gram_fraction"] <= t["max_dup_3gram_fraction"])
+        & (f["dup_3gram_fraction"] <= t["max_dup_3gram_fraction"]),
     )
 
 

@@ -51,9 +51,12 @@ def fingerprint64(col: Column | str) -> Column:
 # Heuristic language-ID (stopword-profile scoring).
 #
 # Profiles are fixed marker-word sets per language; the score of a
-# language is the number of marker-word occurrences.  Deterministic
-# argmax with ties broken by profile order.  CJK languages are detected
-# by codepoint-class fraction instead of markers.
+# language is the number of letter-token occurrences in the marker set
+# (text is lowered and tokenized on non-letter runs ONCE, then each
+# language is an array-membership count — one tokenize pass instead of
+# one regex scan per language).  Deterministic argmax with ties broken
+# by profile order.  CJK languages are detected by codepoint-class
+# fraction instead of markers.
 
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "in", "that", "was", "with", "for"),
@@ -67,45 +70,59 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 CJK_REGEX = r"[一-鿿]"
 
 
-def _marker_regex(markers: tuple[str, ...]) -> str:
-    return r"\b(" + "|".join(markers) + r")\b"
+def _letter_tokens(col: Column) -> Column:
+    """Lowered letter-run tokens (Unicode \\p{L}; one split per row)."""
+    return F.filter(F.split(F.lower(col), r"[^\p{L}]+"), lambda w: w != F.lit(""))
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
-    return {
-        lang: F.regexp_count(c, F.lit(_marker_regex(markers))).cast("long")
-        for lang, markers in LANG_PROFILES.items()
-    }
+def lang_scores_of(tokens: Column) -> dict[str, Column]:
+    out = {}
+    for lang, markers in LANG_PROFILES.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(
+            F.filter(tokens, lambda w: F.array_contains(marker_arr, w))
+        ).cast("long")
+    return out
 
 
 def detect_lang(col: Column | str, min_hits: int = 2) -> Column:
     """Argmax over profile scores; 'zh' if CJK-dominant; 'und' if no
     profile reaches ``min_hits``.  Ties break by profile declaration
-    order (first wins) — deterministic."""
+    order (first wins) — deterministic.  The tokenization is let-bound
+    (see :mod:`greatex_spark.functions.exprs`) so the text is split once
+    per row, not once per language."""
+    from greatex_spark.functions.exprs import let
+
     c = F.col(col) if isinstance(col, str) else col
-    scores = lang_scores(c)
-    best_lang = F.lit("und")
-    best_score = F.lit(int(min_hits) - 1).cast("long")
-    # declaration order + strict '>' ⇒ the first-declared profile wins ties
-    for lang, s in scores.items():
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
+
+    def score_argmax(tokens: Column) -> Column:
+        scores = lang_scores_of(tokens)
+        best_lang = F.lit("und")
+        best_score = F.lit(int(min_hits) - 1).cast("long")
+        # declaration order + strict '>' ⇒ first-declared profile wins ties
+        for lang, s in scores.items():
+            is_better = s > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, s).otherwise(best_score)
+        return best_lang
+
     cjk_frac = F.regexp_count(c, F.lit(CJK_REGEX)).cast("double") / F.greatest(
         F.length(c).cast("double"), F.lit(1.0)
     )
-    return F.when(cjk_frac > 0.25, F.lit("zh")).otherwise(best_lang)
+    return F.when(cjk_frac > 0.25, F.lit("zh")).otherwise(
+        let(_letter_tokens(c), score_argmax)
+    )
 
 
 def detect_lang_duckdb_sql(col_expr: str, min_hits: int = 2) -> str:
     """One self-contained DuckDB SQL expression replaying
-    :func:`detect_lang` exactly (same profiles, same first-wins
-    tie-break, same CJK override) for the oracle harness."""
+    :func:`detect_lang` exactly (same profiles, same tokenization, same
+    first-wins tie-break, same CJK override) for the oracle harness."""
+    toks = f"regexp_extract_all(lower({col_expr}), '[\\p{{L}}]+')"
 
     def score(lang: str) -> str:
-        pat = _marker_regex(LANG_PROFILES[lang]).replace("'", "''")
-        return f"len(regexp_extract_all(lower({col_expr}), '{pat}'))"
+        markers = ", ".join(f"'{m}'" for m in LANG_PROFILES[lang])
+        return f"len(list_filter({toks}, w -> w IN ({markers})))"
 
     best_lang = "'und'"
     best_score = str(int(min_hits) - 1)

@@ -24,10 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from greatex_spark.functions.heuristics import (
-    DEFAULT_THRESHOLDS,
-    gopher_keep_condition,
-)
+from greatex_spark.functions.heuristics import DEFAULT_THRESHOLDS, quality_struct
 from greatex_spark.functions.perplexity import log_perplexity_udf
 from greatex_spark.functions.pii import scrub_pii
 from greatex_spark.functions.textstats import (
@@ -52,24 +49,53 @@ class PipelineConfig:
 
 
 def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
-    """bronze → silver: all signals in one pass."""
-    keep_quality = gopher_keep_condition("text", config.gopher_thresholds)
-    lang_pred = detect_lang("text")
-    log_ppl = log_perplexity_udf(F.col("text"))
-    return df.select(
+    """bronze → silver: all signals in one pass.
+
+    Two-step projection: the expensive producers (heuristic struct —
+    tokenizes once via let-binding; langid; perplexity UDF) land in step
+    one, and step two derives the boolean flags from already-computed
+    columns.  CollapseProject keeps non-cheap producers referenced more
+    than once in their own projection, so nothing is re-evaluated."""
+    t = {**DEFAULT_THRESHOLDS, **config.gopher_thresholds}
+    step1 = df.select(
         "*",
-        keep_quality.alias("keep_quality"),
-        lang_pred.alias("lang_pred"),
-        log_ppl.alias("log_ppl"),
+        quality_struct(F.col("text")).alias("__qs"),
+        detect_lang("text").alias("lang_pred"),
+        log_perplexity_udf(F.col("text")).alias("log_ppl"),
         scrub_pii("text").alias("text_scrubbed"),
         fingerprint64("text").alias("fingerprint"),
         bpe_token_count("text").alias("n_tokens"),
-    ).withColumn(
-        "keep",
-        F.col("keep_quality")
-        & (F.col("lang_pred") == F.lit(config.target_lang))
-        & F.col("log_ppl").isNotNull()
-        & (F.col("log_ppl") <= F.lit(config.ppl_threshold)),
+    )
+    f = F.col("__qs")
+    keep_quality = (
+        (f["n_chars"] >= t["min_chars"])
+        & (f["n_chars"] <= t["max_chars"])
+        & (f["n_words"] >= t["min_words"])
+        & (f["n_words"] <= t["max_words"])
+        & (f["mean_word_length"] >= t["min_mean_word_length"])
+        & (f["mean_word_length"] <= t["max_mean_word_length"])
+        & (f["symbol_to_word_ratio"] <= t["max_symbol_to_word_ratio"])
+        & (f["bullet_line_fraction"] <= t["max_bullet_line_fraction"])
+        & (f["ellipsis_line_fraction"] <= t["max_ellipsis_line_fraction"])
+        & (f["alpha_word_fraction"] >= t["min_alpha_word_fraction"])
+        & (f["stopword_count"] >= t["min_stopword_count"])
+        & (f["dup_2gram_fraction"] <= t["max_dup_2gram_fraction"])
+        & (f["dup_3gram_fraction"] <= t["max_dup_3gram_fraction"])
+    )
+    return step1.select(
+        *df.columns,
+        keep_quality.alias("keep_quality"),
+        "lang_pred",
+        "log_ppl",
+        "text_scrubbed",
+        "fingerprint",
+        "n_tokens",
+        (
+            keep_quality
+            & (F.col("lang_pred") == F.lit(config.target_lang))
+            & F.col("log_ppl").isNotNull()
+            & (F.col("log_ppl") <= F.lit(config.ppl_threshold))
+        ).alias("keep"),
     )
 
 
