@@ -303,6 +303,103 @@ def _gopher_gate_sql() -> str:
     return "\nUNION ALL ".join(parts)
 
 
+def elt_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ELT transform chain in one projection (SURVEY.md
+    §2.B): conditional value→null replacement (B2,
+    /root/reference/dags/transformations.py:15), drop-null filter (B3,
+    :16), integer downcast (B4, :17), negative-clamp repair (B9,
+    /root/reference/source-data/clean_trial_dataset.py:8-20), and the
+    final column projection (B8)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.col("c_acctbal").isNotNull()).select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("mktsegment"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal_clamped"),
+        F.col("c_nationkey").cast("smallint").alias("nation_small"),
+    )
+
+
+def orders_schema_suite() -> Suite:
+    return Suite.of(
+        "orders_schema_gate",
+        E(
+            "expect_table_columns_to_match_ordered_list",
+            column_list=[
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority", "order_date_str",
+            ],
+        ),
+        E(
+            "expect_column_values_to_be_in_type_list",
+            column="o_orderkey",
+            type_list=["INTEGER", "int64", "bigint"],
+        ),
+        E(
+            "expect_column_values_to_be_in_type_list",
+            column="o_totalprice",
+            type_list=["NUMERIC", "float64", "double"],
+        ),
+        E("expect_column_values_to_not_be_null", column="o_custkey"),
+        E(
+            "expect_column_values_to_match_strftime_format",
+            column="order_date_str",
+            strftime_format="%Y-%m-%d %H:%M:%S",
+        ),
+    )
+
+
+def suite_orders_schema_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema expectations (A1/A4) + strftime-format check (A8) over a
+    derived string-date column — the reference's file-suite shape
+    (/root/reference/dags/scripts/python/retail_load.py:137-168)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_date_str", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    vr = run_suite(orders, orders_schema_suite(), collect_partial_unexpected=False)
+    n = vr.results[3].result["element_count"]
+    rows = [
+        (
+            r.expectation_config["expectation_type"],
+            str(r.expectation_config["kwargs"].get("column", "")),
+            int(r.result.get("element_count", n)),
+            int(r.result.get("unexpected_count", 0)),
+            bool(r.success),
+        )
+        for r in vr.results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "expectation_name string, expectation_column string, element_count long, "
+        "unexpected_count long, success boolean",
+    )
+
+
+def _suite_orders_schema_gate_sql() -> str:
+    return """
+WITH s AS (
+  SELECT count(*) AS cnt,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+    sum(CASE WHEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') IS NOT NULL
+         AND try_strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                          '%Y-%m-%d %H:%M:%S') IS NULL
+        THEN 1 ELSE 0 END) AS bad_fmt
+  FROM orders)
+SELECT 'expect_table_columns_to_match_ordered_list' AS expectation_name,
+       '' AS expectation_column, cnt AS element_count,
+       CAST(0 AS BIGINT) AS unexpected_count, true AS success FROM s
+UNION ALL SELECT 'expect_column_values_to_be_in_type_list', 'o_orderkey', cnt,
+       CAST(0 AS BIGINT), true FROM s
+UNION ALL SELECT 'expect_column_values_to_be_in_type_list', 'o_totalprice', cnt,
+       CAST(0 AS BIGINT), true FROM s
+UNION ALL SELECT 'expect_column_values_to_not_be_null', 'o_custkey', cnt,
+       null_cust, null_cust = 0 FROM s
+UNION ALL SELECT 'expect_column_values_to_match_strftime_format', 'order_date_str',
+       cnt, bad_fmt, bad_fmt = 0 FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # text-quality functions
 
@@ -562,6 +659,36 @@ def pipeline_pages_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold_projection(dedup(filter_kept(featurize(pages, cfg)), cfg))
 
 
+def pipeline_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the fully staged, gated, resumable pipeline (bronze → silver
+    → kept → gold snapshots + checkpoint gates) on a generated corpus
+    and return the typed metrics table — the engine's recast of the
+    reference's JSON validations store + shredding trigger
+    (/root/reference/database-setup/storedb.sql:10-75).  Deterministic
+    columns only (timestamps/run names vary per run)."""
+    import tempfile
+
+    from greatex_spark.pipeline.runner import run_pipeline
+    from greatex_spark.pipeline.checkpoint import METRICS_TABLE
+    from greatex_spark.tables import Catalog
+
+    tmp = tempfile.mkdtemp(prefix="greatex_lineage_")
+    catalog = Catalog(tmp)
+    pages = generate_pages(spark, 600, seed=42).localCheckpoint()
+    run_pipeline(spark, catalog, epoch=1, source_df=pages, run_name="oracle-run")
+    metrics = catalog.read_latest(spark, METRICS_TABLE)
+    return metrics.select(
+        "expectation_suite_name",
+        "expectation_name",
+        "expectation_column",
+        "batch_identifier",
+        "element_count",
+        "unexpected_count",
+        "success",
+        "checkpoint_epoch",
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media plumbing: documents → media rows (payload =
     utf8 bytes, typed metadata) → mapInPandas feature extraction."""
@@ -616,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_supplier_nation_region": join_supplier_nation_region,
         "events_hourly_rollup": events_hourly_rollup,
         "events_top_users": events_top_users,
+        "elt_clean_project": elt_clean_project,
+        "suite_orders_schema_gate": suite_orders_schema_gate,
         "suite_documents_gate": suite_documents_gate,
         "gopher_gate_documents": gopher_gate_documents,
         "doc_text_stats": doc_text_stats,
@@ -632,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "emb_label_stats": emb_label_stats,
         "pipeline_pages_gold": pipeline_pages_gold,
+        "pipeline_lineage_metrics": pipeline_lineage_metrics,
         "multimodal_features": multimodal_features,
     }
 
@@ -686,6 +816,14 @@ ranked AS (
 SELECT event_type, user_id, CAST(rnk AS INT) AS rnk, total_value
 FROM ranked WHERE rnk <= 3
 """,
+        "elt_clean_project": """
+SELECT c_custkey,
+  CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL ELSE c_mktsegment END AS mktsegment,
+  greatest(c_acctbal, 0.0) AS acctbal_clamped,
+  CAST(c_nationkey AS SMALLINT) AS nation_small
+FROM customer WHERE c_acctbal IS NOT NULL
+""",
+        "suite_orders_schema_gate": _suite_orders_schema_gate_sql(),
         "suite_documents_gate": _suite_documents_gate_sql(),
         "gopher_gate_documents": _gopher_gate_sql(),
         "doc_text_stats": _doc_text_stats_sql(),

@@ -64,22 +64,42 @@ def shingles_col(text: Column | str, k: int = 5) -> Column:
     )
 
 
+def shingle_hashes(text: Column | str, k: int = 5) -> Column:
+    """Distinct 64-bit hashes of the word-k-shingles, composed NUMERICALLY:
+    words are hashed once, then each shingle hash is ``xxhash64`` of the
+    k word-hash longs — the shingle strings are never materialized
+    (word-salad shingle strings were the dominant allocation in the
+    dedup hot path; longs keep the interpreted HOF pass GC-light, which
+    is what lets the stage scale with cores)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(normalize_for_fingerprint(c), " ")
+    from greatex_spark.functions.exprs import let
+
+    def grams(wh: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(wh) - k, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(*[F.element_at(wh, i + j + 1) for j in range(k)]),
+            )
+        )
+
+    return let(F.transform(words, lambda w: F.xxhash64(w)), grams)
+
+
 def minhash_signature(
     text: Column | str, num_perm: int = 64, shingle_k: int = 5
 ) -> Column:
     """Array of ``num_perm`` min-hashes.  Permutation *i* is
-    ``xxhash64(lit(i), xxhash64(shingle))`` — independent hash
-    functions from one seeded family, evaluated entirely in codegen'd
-    JVM expressions.
+    ``xxhash64(lit(i), shingle_hash)`` — independent hash functions from
+    one seeded family, evaluated entirely in JVM expressions.
 
-    The base shingle-hash array is **let-bound** by wrapping it in a
-    single-element array and transforming over it: the lambda variable
-    is evaluated once per row, so the (expensive) shingling +
-    string-hash pass runs 1×, and the ``num_perm`` permutations only
-    re-hash cheap longs.  Without this, Catalyst inlines the shingle
-    expression into every permutation lambda — a measured ~50× blowup."""
-    sh = shingles_col(text, shingle_k)
-    base = F.transform(sh, lambda s: F.xxhash64(s))
+    The base shingle-hash array is **let-bound** (see
+    :mod:`greatex_spark.functions.exprs`): it is evaluated once per row,
+    and the ``num_perm`` permutations only re-hash cheap longs.  Without
+    this, Catalyst inlines the shingle expression into every permutation
+    lambda — a measured ~50× blowup."""
+    base = shingle_hashes(text, shingle_k)
     return F.element_at(
         F.transform(
             F.array(base),
@@ -151,59 +171,102 @@ def minhash_lsh_dedup(
 # SimHash
 
 
+_SIMHASH_MASKS = None
+
+
+def _simhash_masks() -> Column:
+    global _SIMHASH_MASKS
+    if _SIMHASH_MASKS is None:
+        _SIMHASH_MASKS = F.array(
+            *[
+                F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+                for i in range(64)
+            ]
+        )
+    return _SIMHASH_MASKS
+
+
 def simhash64(text: Column | str) -> Column:
     """64-bit SimHash over word hashes — pure higher-order expressions.
 
-    bit_i(simhash) = 1  iff  sum over words of bit_i(xxhash64(word))
-    exceeds n_words/2."""
+    bit_i(simhash) = 1  iff  count over words of bit_i(xxhash64(word))
+    exceeds n_words/2.  ONE pass over the word-hash array: the per-bit
+    counters live in a 64-long accumulator array updated by a nested
+    ``zip_with`` against literal bit masks (HOFs are interpreted, so a
+    per-bit ``aggregate`` would re-hash every word 64 times)."""
+    from greatex_spark.functions.exprs import let
+
     c = F.col(text) if isinstance(text, str) else text
     words = F.filter(F.split(normalize_for_fingerprint(c), " "), lambda w: w != F.lit(""))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    n = F.size(hashes)
-    # bit positions are Python ints (shift amounts must be literals);
-    # each bit sum is one aggregate HOF over the word-hash array
-    def _bit_sum(bit: int) -> Column:
-        return F.aggregate(
+    masks = _simhash_masks()
+
+    def from_hashes(hashes: Column) -> Column:
+        n = F.size(hashes)
+        counts = F.aggregate(
             hashes,
+            F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, h: F.zip_with(
+                acc, masks, lambda a, m: a + (h.bitwiseAND(m) != 0).cast("long")
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                counts,
+                masks,
+                lambda cnt, m: F.when(cnt * 2 > n, m).otherwise(F.lit(0).cast("long")),
+            ),
             F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)),
+            lambda acc, v: acc.bitwiseOR(v),
         )
 
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        bit_sum = _bit_sum(i)
-        bit_val = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
-        out = out.bitwiseOR(
-            F.when(bit_sum * 2 > n, bit_val).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    return let(F.transform(words, lambda w: F.xxhash64(w)), from_hashes)
 
 
 def simhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup filter: two docs are candidates when any of the four
-    16-bit SimHash bands match (Hamming ≤ 3 within 64 bits is caught
-    with high probability); survivors are the per-bucket min ids, as in
-    :func:`minhash_lsh_dedup`."""
-    sh = simhash64(text_col)
-    banded = df.select(
-        F.col(id_col).alias("__id"),
+    """SimHash near-dup filter, candidate-generate + verify:
+
+    1. signature computed ONCE per row (own projection);
+    2. candidates = pairs sharing any of the four 16-bit bands (by the
+       pigeonhole principle this catches every pair with Hamming ≤ 3);
+    3. verify with an exact popcount on the XOR of full signatures;
+    4. drop the higher id of each verified pair.
+
+    The band exchange shuffles only (id, band, bucket, sig) rows; the
+    verify join never sees more than one bucket's candidates."""
+    sigs = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
+    banded = sigs.select(
+        "__id",
+        "__sim",
         F.posexplode(
             F.array(
-                *[F.shiftright(sh, b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)]
+                *[
+                    F.shiftright(F.col("__sim"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
             )
         ).alias("__band", "__bucket"),
     )
-    w = Window.partitionBy("__band", "__bucket")
-    reps = (
-        banded.withColumn("__bucket_min", F.min("__id").over(w))
-        .groupBy("__id")
-        .agg(F.min("__bucket_min").alias("__rep"))
-        .where(F.col("__id") == F.col("__rep"))
-        .select(F.col("__id").alias(id_col))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    dropped = (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") > F.col("r.__id")),
+        )
+        .where(
+            F.bit_count(F.col("l.__sim").bitwiseXOR(F.col("r.__sim"))) <= max_hamming
+        )
+        .select(F.col("l.__id").alias(id_col))
+        .distinct()
     )
-    return df.join(reps, on=id_col, how="left_semi")
+    return df.join(dropped, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

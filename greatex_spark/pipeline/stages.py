@@ -59,7 +59,7 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
     t = {**DEFAULT_THRESHOLDS, **config.gopher_thresholds}
     step1 = df.select(
         "*",
-        quality_struct(F.col("text")).alias("__qs"),
+        quality_struct(F.col("text"), hashed_ngrams=True).alias("__qs"),
         detect_lang("text").alias("lang_pred"),
         log_perplexity_udf(F.col("text")).alias("log_ppl"),
         scrub_pii("text").alias("text_scrubbed"),

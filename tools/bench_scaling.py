@@ -1,0 +1,118 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8
+between N and 4N executors).
+
+No real cluster exists in this sandbox, so the same end-to-end pipeline
+job (featurize -> silver snapshot -> keep-filter -> MinHash-LSH dedup ->
+gold) runs over the IDENTICAL bronze parquet input at two parallelism
+levels — local[8] and local[32] — in separate JVMs.  Each level does one
+un-timed warmup pass (JIT + Arrow worker startup) and then three timed
+passes; the median is reported.  Efficiency = (T_8 / T_32) / 4.
+
+Writes BENCH_SCALING.json and rewrites the scaling section of
+BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from greatex_spark.session import get_spark
+from greatex_spark.pipeline.stages import PipelineConfig, featurize, filter_kept, dedup, gold_projection
+
+bronze_path, cores, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+spark = get_spark(master=f"local[{{cores}}]", app_name=f"scaling-{{cores}}")
+bronze = spark.read.parquet(bronze_path)
+cfg = PipelineConfig()
+tmp = out_path
+
+def run_once():
+    sp, gp = os.path.join(tmp, "silver"), os.path.join(tmp, "gold")
+    featurize(bronze, cfg).write.mode("overwrite").parquet(sp)
+    silver = spark.read.parquet(sp)
+    gold_projection(dedup(filter_kept(silver), cfg)).write.mode("overwrite").parquet(gp)
+
+run_once(); run_once()  # warmup x2: JIT tiers, codegen, Python workers
+times = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    run_once()
+    times.append(time.perf_counter() - t0)
+print("RESULT " + json.dumps(times))
+"""
+
+
+def run_level(bronze_path: str, cores: int, n_pages: int) -> dict:
+    """Run one parallelism level in a fresh JVM, pinned to ``cores``
+    physical CPUs with taskset so the small-cluster emulation is honest:
+    without affinity the local[8] JVM still sizes GC/JIT pools (and
+    Python UDF workers still schedule) across all 32 machine cores."""
+    with tempfile.TemporaryDirectory(prefix=f"scale{cores}_") as tmp:
+        script = WORKER.format(repo=REPO)
+        cmd = [sys.executable, "-c", script, bronze_path, str(cores), tmp]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="12g")
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, env=env,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                times = json.loads(line[len("RESULT "):])
+                med = statistics.median(times)
+                return {
+                    "cores": cores,
+                    "times_sec": [round(t, 2) for t in times],
+                    "median_sec": round(med, 2),
+                    "docs_per_sec": round(n_pages / med, 1),
+                }
+        raise RuntimeError(f"worker[{cores}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    with tempfile.TemporaryDirectory(prefix="scale_bronze_") as btmp:
+        bronze_path = os.path.join(btmp, "bronze")
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from greatex_spark.session import get_spark\n"
+            "from greatex_spark.pages import generate_pages\n"
+            "spark = get_spark(master='local[32]', app_name='gen')\n"
+            "generate_pages(spark, {n}, seed=42, num_partitions=64)"
+            ".write.parquet({bp!r})\n"
+        ).format(repo=REPO, n=n_pages, bp=bronze_path)
+        subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True, timeout=900)
+
+        low = run_level(bronze_path, 8, n_pages)
+        high = run_level(bronze_path, 32, n_pages)
+
+    speedup = low["median_sec"] / high["median_sec"]
+    eff = speedup / 4.0
+    result = {
+        "job": "end-to-end pages pipeline (featurize + keep/drop + scrub + MinHash dedup)",
+        "input_pages": n_pages,
+        "levels": [low, high],
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "efficiency >= 0.8 between N and 4N cores",
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
