@@ -621,6 +621,17 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (seeded k-means coarse quantizer, nprobe
+    cells, exact rerank) — the clustered scale path; approximate by
+    construction, rows-only."""
+    from greatex_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(queries_df, emb, k=5, nlist=8, nprobe=4)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-k (bucketed candidates, exact rerank) —
     approximate by construction, so rows-only; recall is measured against
@@ -759,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": doc_pair_jaccard,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "emb_label_stats": emb_label_stats,
         "pipeline_pages_gold": pipeline_pages_gold,
         "pipeline_lineage_metrics": pipeline_lineage_metrics,

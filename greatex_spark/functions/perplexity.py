@@ -32,6 +32,10 @@ from pyspark.sql.functions import pandas_udf
 from greatex_spark.functions.langid import SEED_TEXT
 
 LAMBDAS = (0.6, 0.25, 0.1, 0.05)
+# CCNet-style scoring prefix: the first 512 chars decide the score —
+# gibberish/boilerplate shows up immediately, and truncation caps the
+# per-doc Python cost at a constant independent of doc length
+MAX_SCORED_CHARS = 512
 VOCAB_SIZE = 8192  # uniform-backoff denominator (fixed spec constant)
 
 
@@ -51,7 +55,7 @@ def _train(corpus: str):
 _UNI, _BI, _TRI, _TOTAL = _train(" ".join(SEED_TEXT[lang] for lang in ("en",)))
 
 
-def log_perplexity_py(text: str | None, max_chars: int = 2000) -> float | None:
+def log_perplexity_py(text: str | None, max_chars: int = MAX_SCORED_CHARS) -> float | None:
     """Standalone reference scorer (identical to the UDF's inner loop)."""
     if text is None:
         return None

@@ -161,6 +161,94 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    over the corpus, candidates restricted to each query's ``nprobe``
+    nearest cells, exact cosine re-rank inside the probed cells.
+
+    The scale path for ANN at 10^12 rows: the corpus is scanned once to
+    assign cells (one narrow shuffle by cell id), each query joins only
+    ``nprobe/nlist`` of the corpus, and the centroid table (nlist × dim
+    floats) is broadcast.  KMeans is seeded → assignments deterministic.
+
+    Recall < 1.0 by construction; measure against
+    :func:`brute_force_topk` (see tests)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+    )
+    km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("neighbor_id", "__cv", "__cell")
+
+    # centroid list is tiny: ship it as literal arrays and rank cells
+    # per query with one let-bound expression (no ML model on the hot path)
+    centroids = [
+        [float(x) for x in np.asarray(c).round(9)] for c in model.clusterCenters()
+    ]
+    cent_arr = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    qv = F.col("__qv")
+    # negative squared L2 distance to each centroid; top-nprobe cell ids
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(qv, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).select("query_id", "__qv", F.explode(probe_cells).alias("__cell"))
+    scored = (
+        q.join(assigned, on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), score_decimals).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     dim: int,

@@ -44,6 +44,10 @@ class PipelineConfig:
     dedup: bool = True
     minhash_num_perm: int = 64
     minhash_num_bands: int = 16
+    # heuristic features: Arrow-batched pandas UDF (hot path; identical
+    # semantics, ~10-30x cheaper than the interpreted-HOF native spec —
+    # see functions/heuristics_arrow.py) vs native Column expressions
+    arrow_features: bool = True
     # gate: fraction of bronze rows that must survive the keep filter
     keep_fraction_band: tuple[float, float] = (0.25, 0.75)
 
@@ -57,15 +61,33 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
     columns.  CollapseProject keeps non-cheap producers referenced more
     than once in their own projection, so nothing is re-evaluated."""
     t = {**DEFAULT_THRESHOLDS, **config.gopher_thresholds}
-    step1 = df.select(
-        "*",
-        quality_struct(F.col("text"), hashed_ngrams=True).alias("__qs"),
-        detect_lang("text").alias("lang_pred"),
-        log_perplexity_udf(F.col("text")).alias("log_ppl"),
-        scrub_pii("text").alias("text_scrubbed"),
-        fingerprint64("text").alias("fingerprint"),
-        bpe_token_count("text").alias("n_tokens"),
-    )
+    if config.arrow_features:
+        # one Arrow crossing for heuristics + langid + token count
+        from greatex_spark.functions.heuristics_arrow import page_signals_arrow
+
+        sig = page_signals_arrow(F.col("text"))
+        step1 = df.select(
+            "*",
+            sig.alias("__qs"),
+            log_perplexity_udf(F.col("text")).alias("log_ppl"),
+            scrub_pii("text").alias("text_scrubbed"),
+            fingerprint64("text").alias("fingerprint"),
+        ).withColumns(
+            {
+                "lang_pred": F.col("__qs.lang_pred"),
+                "n_tokens": F.col("__qs.n_bpe_tokens"),
+            }
+        )
+    else:
+        step1 = df.select(
+            "*",
+            quality_struct(F.col("text"), hashed_ngrams=True).alias("__qs"),
+            detect_lang("text").alias("lang_pred"),
+            log_perplexity_udf(F.col("text")).alias("log_ppl"),
+            scrub_pii("text").alias("text_scrubbed"),
+            fingerprint64("text").alias("fingerprint"),
+            bpe_token_count("text").alias("n_tokens"),
+        )
     f = F.col("__qs")
     keep_quality = (
         (f["n_chars"] >= t["min_chars"])

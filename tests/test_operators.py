@@ -131,6 +131,25 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert pairs_approx  # non-empty
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    from greatex_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    exact = brute_force_topk(emb, emb, k=5)
+    approx = ivf_topk(emb, emb, k=5, nlist=8, nprobe=4)
+    pairs_exact = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    pairs_approx = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(pairs_exact & pairs_approx) / len(pairs_exact)
+    # probing half the cells of a seeded k-means quantizer
+    assert recall > 0.5, recall
+    # scores of returned pairs are exact cosines: any overlap must agree
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.score - exact_scores[key]) < 1e-9
+
+
 def test_embedding_cosine_dedup(spark):
     base = [float(i) for i in range(8)]
     near = [float(i) + (0.001 if i == 0 else 0.0) for i in range(8)]

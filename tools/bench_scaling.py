@@ -38,17 +38,22 @@ bronze = spark.read.parquet(bronze_path)
 cfg = PipelineConfig()
 tmp = out_path
 
-def run_once():
-    sp, gp = os.path.join(tmp, "silver"), os.path.join(tmp, "gold")
-    featurize(bronze, cfg).write.mode("overwrite").parquet(sp)
+def run_once(src, tag):
+    sp, gp = os.path.join(tmp, "silver" + tag), os.path.join(tmp, "gold" + tag)
+    featurize(src, cfg).write.mode("overwrite").parquet(sp)
     silver = spark.read.parquet(sp)
     gold_projection(dedup(filter_kept(silver), cfg)).write.mode("overwrite").parquet(gp)
 
-run_once(); run_once()  # warmup x2: JIT tiers, codegen, Python workers
+# warmup on a small slice: JIT tiers, codegen, Python workers — cheap,
+# so the big timed runs start steady-state
+warm = spark.read.parquet(bronze_path).limit(5000).localCheckpoint()
+run_once(warm, "w"); run_once(warm, "w")
 times = []
 for _ in range(3):
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     t0 = time.perf_counter()
-    run_once()
+    run_once(bronze, "t")
     times.append(time.perf_counter() - t0)
 print("RESULT " + json.dumps(times))
 """
@@ -82,7 +87,7 @@ def run_level(bronze_path: str, cores: int, n_pages: int) -> dict:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
     with tempfile.TemporaryDirectory(prefix="scale_bronze_") as btmp:
         bronze_path = os.path.join(btmp, "bronze")
         gen = (
@@ -90,7 +95,7 @@ def main() -> None:
             "from greatex_spark.session import get_spark\n"
             "from greatex_spark.pages import generate_pages\n"
             "spark = get_spark(master='local[32]', app_name='gen')\n"
-            "generate_pages(spark, {n}, seed=42, num_partitions=64)"
+            "generate_pages(spark, {n}, seed=42, num_partitions=128)"
             ".write.parquet({bp!r})\n"
         ).format(repo=REPO, n=n_pages, bp=bronze_path)
         subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True, timeout=900)
