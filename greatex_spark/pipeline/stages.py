@@ -104,8 +104,13 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
         & (f["dup_2gram_fraction"] <= t["max_dup_2gram_fraction"])
         & (f["dup_3gram_fraction"] <= t["max_dup_3gram_fraction"])
     )
+    # silver is the featurized WORKING SET: the raw html bytes stay in
+    # bronze (time-travelable via the catalog) and are not copied through
+    # every downstream snapshot — at 100 TB the raw payload dominates
+    # bytes written, and nothing after bronze reads it
+    out_cols = [c for c in df.columns if c != "html"]
     return step1.select(
-        *df.columns,
+        *out_cols,
         keep_quality.alias("keep_quality"),
         "lang_pred",
         "log_ppl",

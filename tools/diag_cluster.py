@@ -38,14 +38,13 @@ cfg = PipelineConfig()
 
 def noop(df): df.write.format("noop").mode("overwrite").save()
 
-def t(name, fn, n=2):
+def t(name, fn, n=4):
     fn()  # warm
-    best = 1e9
+    times = []
     for _ in range(n):
-        t0 = time.perf_counter(); fn(); best = min(best, time.perf_counter() - t0)
-    print(f"TIMING {{name}} {{best:.2f}}", flush=True)
+        t0 = time.perf_counter(); fn(); times.append(round(time.perf_counter() - t0, 2))
+    print(f"TIMING {{name}} {{times}}", flush=True)
 
-t("featurize_noop", lambda: noop(featurize(bronze, cfg)))
 sp = os.path.join(out_path, "silver")
 def fw():
     featurize(bronze, cfg).write.mode("overwrite").parquet(sp)
@@ -53,6 +52,12 @@ t("featurize_parquet", fw)
 silver = spark.read.parquet(sp)
 t("dedup_noop", lambda: noop(dedup(filter_kept(silver), cfg)))
 t("scan_only", lambda: noop(bronze))
+t("ppl_only", lambda: noop(bronze.selectExpr("length(text) l").groupBy().sum("l")))
+from greatex_spark.functions.heuristics_arrow import page_signals_arrow
+from pyspark.sql import functions as F
+t("signals_only", lambda: noop(bronze.select(page_signals_arrow(F.col("text")).alias("s"))))
+from greatex_spark.functions.perplexity import log_perplexity_udf
+t("ppl_udf_only", lambda: noop(bronze.select(log_perplexity_udf(F.col("text")).alias("p"))))
 """
 
 
@@ -64,7 +69,7 @@ def main() -> None:
     )
     time.sleep(10)
     try:
-        with tempfile.TemporaryDirectory(prefix="diag_") as btmp:
+        with tempfile.TemporaryDirectory(prefix="diag_", dir="/dev/shm") as btmp:
             bronze_path = os.path.join(btmp, "bronze")
             gen = (
                 "import sys; sys.path.insert(0, {repo!r})\n"
@@ -89,7 +94,7 @@ def main() -> None:
                     ))
                 time.sleep(15)
                 try:
-                    with tempfile.TemporaryDirectory(prefix=f"diagrun{n_workers}_") as tmp:
+                    with tempfile.TemporaryDirectory(prefix=f"diagrun{n_workers}_", dir="/dev/shm") as tmp:
                         out = subprocess.run(
                             [sys.executable, "-c", DRIVER.format(repo=REPO, master=MASTER_URL),
                              bronze_path, str(8 * n_workers), tmp],
