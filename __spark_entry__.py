@@ -261,6 +261,65 @@ UNION ALL SELECT 'expect_column_values_to_match_regex', 'text', cnt, bad_regex,
 """
 
 
+def lineitem_stats_suite() -> Suite:
+    return Suite.of(
+        "lineitem_stats_gate",
+        E("expect_column_sum_to_be_between", column="l_quantity",
+          min_value=1.0, max_value=1e12),
+        E("expect_column_stdev_to_be_between", column="l_discount",
+          min_value=0.0, max_value=1.0),
+        E("expect_column_quantile_to_be_between", column="l_extendedprice",
+          quantile=0.5, min_value=1.0, max_value=1e9),
+        E("expect_column_quantile_to_be_between", column="l_quantity",
+          quantile=0.95, min_value=1.0, max_value=1e6),
+        E("expect_column_mean_to_be_between", column="l_tax",
+          min_value=0.0, max_value=1.0),
+    )
+
+
+def suite_lineitem_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate expectations (sum / sample-stdev / exact
+    interpolated quantile / mean) fused into the same single-pass agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    vr = run_suite(li, lineitem_stats_suite(), collect_partial_unexpected=False)
+    rows = [
+        (
+            r.expectation_config["expectation_type"],
+            str(r.expectation_config["kwargs"].get("column", "")),
+            float(r.expectation_config["kwargs"].get("quantile", -1.0)),
+            bool(r.success),
+        )
+        for r in vr.results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "expectation_name string, expectation_column string, quantile double, "
+        "success boolean",
+    )
+
+
+def _suite_lineitem_stats_gate_sql() -> str:
+    return """
+WITH s AS (
+  SELECT sum(l_quantity) AS sq, stddev_samp(l_discount) AS sd,
+         quantile_cont(l_extendedprice, 0.5) AS q50,
+         quantile_cont(l_quantity, 0.95) AS q95,
+         avg(l_tax) AS mt
+  FROM lineitem)
+SELECT 'expect_column_sum_to_be_between' AS expectation_name,
+       'l_quantity' AS expectation_column, CAST(-1.0 AS DOUBLE) AS quantile,
+       sq BETWEEN 1.0 AND 1e12 AS success FROM s
+UNION ALL SELECT 'expect_column_stdev_to_be_between', 'l_discount', -1.0,
+       sd BETWEEN 0.0 AND 1.0 FROM s
+UNION ALL SELECT 'expect_column_quantile_to_be_between', 'l_extendedprice', 0.5,
+       q50 BETWEEN 1.0 AND 1e9 FROM s
+UNION ALL SELECT 'expect_column_quantile_to_be_between', 'l_quantity', 0.95,
+       q95 BETWEEN 1.0 AND 1e6 FROM s
+UNION ALL SELECT 'expect_column_mean_to_be_between', 'l_tax', -1.0,
+       mt BETWEEN 0.0 AND 1.0 FROM s
+"""
+
+
 def gopher_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher heuristic rules as a declarative suite over documents;
     one result row per rule."""
@@ -757,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elt_clean_project": elt_clean_project,
         "suite_orders_schema_gate": suite_orders_schema_gate,
         "suite_documents_gate": suite_documents_gate,
+        "suite_lineitem_stats_gate": suite_lineitem_stats_gate,
         "gopher_gate_documents": gopher_gate_documents,
         "doc_text_stats": doc_text_stats,
         "doc_langid": doc_langid,
@@ -837,6 +897,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
 """,
         "suite_orders_schema_gate": _suite_orders_schema_gate_sql(),
         "suite_documents_gate": _suite_documents_gate_sql(),
+        "suite_lineitem_stats_gate": _suite_lineitem_stats_gate_sql(),
         "gopher_gate_documents": _gopher_gate_sql(),
         "doc_text_stats": _doc_text_stats_sql(),
         "doc_langid": (

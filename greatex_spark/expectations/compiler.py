@@ -290,9 +290,27 @@ def compile_suite(df: DataFrame, suite: Suite) -> tuple[list[Column], dict[int, 
             "expect_column_min_to_be_between",
             "expect_column_max_to_be_between",
             "expect_column_mean_to_be_between",
+            "expect_column_sum_to_be_between",
+            "expect_column_stdev_to_be_between",
         ):
-            fn = {"min": F.min, "max": F.max, "mean": F.avg}[t.split("_")[2]]
+            fn = {
+                "min": F.min,
+                "max": F.max,
+                "mean": F.avg,
+                "sum": F.sum,
+                "stdev": F.stddev_samp,  # sample stddev, like GE / SQL STDDEV
+            }[t.split("_")[2]]
             metrics.append(fn(F.col(k["column"])).alias(f"e{i}_observed"))
+            plan[i] = {"kind": "aggregate", "metric": f"e{i}_observed"}
+        elif t == "expect_column_quantile_to_be_between":
+            # exact interpolated percentile (SQL PERCENTILE_CONT semantics);
+            # for huge tables pass approx=True → approx_percentile partials
+            q = float(k["quantile"])
+            if k.get("approx"):
+                expr = F.percentile_approx(F.col(k["column"]), F.lit(q))
+            else:
+                expr = F.percentile(F.col(k["column"]), F.lit(q))
+            metrics.append(expr.alias(f"e{i}_observed"))
             plan[i] = {"kind": "aggregate", "metric": f"e{i}_observed"}
         elif t == "expect_column_unique_value_count_to_be_between":
             agg_fn = (

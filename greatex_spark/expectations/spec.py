@@ -63,6 +63,9 @@ AGGREGATE_TYPES = frozenset(
         "expect_column_min_to_be_between",
         "expect_column_max_to_be_between",
         "expect_column_mean_to_be_between",
+        "expect_column_sum_to_be_between",
+        "expect_column_stdev_to_be_between",
+        "expect_column_quantile_to_be_between",
         "expect_column_unique_value_count_to_be_between",
     }
 )

@@ -165,4 +165,8 @@ def run_pipeline(
     result.counts[GOLD] = result.validations["gold"].results[1].result.get(
         "element_count", result.counts[KEPT]
     )
+    # D5 recast: one markdown report per run next to the catalog
+    from greatex_spark.pipeline.report import write_run_report
+
+    write_run_report(catalog.root, run_name, epoch, result.validations, result.counts)
     return result
