@@ -105,6 +105,7 @@ def main() -> None:
         low = run_level(bronze_path, 8, n_pages)
         high = run_level(bronze_path, 32, n_pages)
 
+    sys.path.insert(0, REPO)
     from tools.bench_cluster_scaling import hardware_cpu_scaling
 
     hw = hardware_cpu_scaling()
