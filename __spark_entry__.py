@@ -235,12 +235,16 @@ def _suite_documents_gate_sql() -> str:
     return f"""
 WITH s AS (
   SELECT count(*) AS cnt,
-    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-    sum(CASE WHEN text IS NOT NULL AND (length(text) < 10 OR length(text) > 1000000)
-        THEN 1 ELSE 0 END) AS bad_len,
-    sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ({langs}) THEN 1 ELSE 0 END) AS bad_lang,
-    sum(CASE WHEN text IS NOT NULL AND NOT regexp_matches(text, '^[a-z]')
-        THEN 1 ELSE 0 END) AS bad_regex,
+    -- CAST: DuckDB sum() over ints is HUGEINT, which pandas widens to
+    -- float64 and the driver's dtype-sensitive value hash then fails
+    -- (round-1 hash_match:false root cause)
+    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+    CAST(sum(CASE WHEN text IS NOT NULL AND (length(text) < 10 OR length(text) > 1000000)
+        THEN 1 ELSE 0 END) AS BIGINT) AS bad_len,
+    CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ({langs}) THEN 1 ELSE 0 END)
+        AS BIGINT) AS bad_lang,
+    CAST(sum(CASE WHEN text IS NOT NULL AND NOT regexp_matches(text, '^[a-z]')
+        THEN 1 ELSE 0 END) AS BIGINT) AS bad_regex,
     min(n_chars) AS min_chars, max(n_chars) AS max_chars
   FROM documents)
 SELECT 'expect_table_row_count_to_be_between' AS expectation_name, '' AS expectation_column,
@@ -353,10 +357,16 @@ def _gopher_gate_sql() -> str:
             f"w -> w IN ({stop}))) >= 2"
         ),
     }
+    # mostly=0.0 in gopher_quality_suite() → success iff unexpected% <= 100
+    # (computed like the compiler does, not hardcoded, so a threshold
+    # change on the Spark side would surface here)
+    mostly = 0.0
     parts = [
-        f"SELECT '{name}' AS rule_name, count(*) AS element_count, "
-        f"sum(CASE WHEN NOT coalesce({expr}, false) THEN 1 ELSE 0 END) AS unexpected_count, "
-        f"true AS success FROM documents"
+        f"SELECT rule_name, element_count, unexpected_count, "
+        f"(100.0 * unexpected_count / element_count) <= {(1.0 - mostly) * 100.0} AS success "
+        f"FROM (SELECT '{name}' AS rule_name, count(*) AS element_count, "
+        f"CAST(sum(CASE WHEN NOT coalesce({expr}, false) THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS unexpected_count FROM documents)"
         for name, expr in rules.items()
     ]
     return "\nUNION ALL ".join(parts)
@@ -439,11 +449,12 @@ def _suite_orders_schema_gate_sql() -> str:
     return """
 WITH s AS (
   SELECT count(*) AS cnt,
-    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
-    sum(CASE WHEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') IS NOT NULL
+    -- CAST: HUGEINT sums become float64 in pandas (see documents gate)
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+    CAST(sum(CASE WHEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') IS NOT NULL
          AND try_strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
                           '%Y-%m-%d %H:%M:%S') IS NULL
-        THEN 1 ELSE 0 END) AS bad_fmt
+        THEN 1 ELSE 0 END) AS BIGINT) AS bad_fmt
   FROM orders)
 SELECT 'expect_table_columns_to_match_ordered_list' AS expectation_name,
        '' AS expectation_column, cnt AS element_count,
@@ -480,7 +491,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_text_stats_sql() -> str:
     stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
-    bpe = BPE_TOKEN_REGEX.replace("\\", "\\")
+    bpe = BPE_TOKEN_REGEX.replace("'", "''")  # SQL string-literal escape
     return f"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_calc,

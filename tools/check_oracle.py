@@ -14,6 +14,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -38,7 +39,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
+    """Dtype-strict: an int on one side and a float on the other is a
+    mismatch even when numerically equal (the driver's value hash
+    stringifies per dtype — ``0`` vs ``0.0`` hash-differ; DuckDB HUGEINT
+    sums landing as float64 caused exactly this in round 1)."""
+    a_float = isinstance(a, (float, np.floating))
+    b_float = isinstance(b, (float, np.floating))
+    a_int = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+    b_int = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    if (a_float and b_int) or (a_int and b_float):
+        return False
+    if a_float or b_float:
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
@@ -57,6 +68,14 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if problems:
         return problems
     s, d = norm(spark_df), norm(duck_df)
+    for c in s.columns:
+        ks, kd = s[c].dtype.kind, d[c].dtype.kind
+        if ks != kd and {ks, kd} <= {"i", "u", "f"} and "f" in {ks, kd}:
+            problems.append(
+                f"dtype mismatch col={c}: spark={s[c].dtype} duck={d[c].dtype}"
+            )
+    if problems:
+        return problems
     n_bad = 0
     for c in s.columns:
         for i, (x, y) in enumerate(zip(s[c], d[c])):
