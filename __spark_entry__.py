@@ -33,6 +33,7 @@ from greatex_spark.functions.heuristics import (
     gopher_quality_suite,
     quality_features,
 )
+from greatex_spark.functions.perplexity import perplexity_duckdb_sql
 from greatex_spark.functions.pii import scrub_pii, scrub_pii_duckdb_sql
 from greatex_spark.functions.textstats import (
     BPE_TOKEN_REGEX,
@@ -567,6 +568,16 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_pii(dirty).alias("text_scrubbed"))
 
 
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style interpolated char-trigram perplexity (the CCNet model
+    stage, pandas UDF) — the DuckDB oracle inlines the n-gram count
+    tables as MAP literals and replays the same IEEE fold."""
+    from greatex_spark.functions.perplexity import log_perplexity_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", log_perplexity_udf(F.col("text")).alias("log_ppl"))
+
+
 def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-n-gram fractions (native HOFs, no UDF)."""
     docs = _t(spark, sf_dir, "documents")
@@ -833,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": doc_langid,
         "doc_c4_filter": doc_c4_filter,
         "doc_pii_scrub": doc_pii_scrub,
+        "doc_perplexity": doc_perplexity,
         "doc_dup_ngrams": doc_dup_ngrams,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_minhash_dedup": doc_minhash_dedup,
@@ -916,6 +928,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
         ),
         "doc_c4_filter": _doc_c4_filter_sql(),
         "doc_pii_scrub": f"SELECT doc_id, {pii_scrubbed} AS text_scrubbed FROM documents",
+        "doc_perplexity": perplexity_duckdb_sql(),
         "doc_dup_ngrams": _doc_dup_ngrams_sql(),
         "doc_exact_dedup": """
 SELECT doc_id, source, n_chars FROM documents

@@ -90,3 +90,68 @@ def with_perplexity(
     df: DataFrame, text_col: str = "text", out_col: str = "log_ppl"
 ) -> DataFrame:
     return df.withColumn(out_col, log_perplexity_udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin: the model is tiny (~300 n-gram counts trained on
+# the fixed seed corpus), so the count tables inline as MAP literals and
+# the scoring loop becomes a sequential list_reduce fold — the same
+# IEEE-double operations in the same order as :func:`log_perplexity_py`,
+# so scores replay bit-identically.
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_map(counter) -> str:
+    items = sorted(counter.items())
+    keys = ", ".join(_sql_str(k) for k, _ in items)
+    vals = ", ".join(str(v) for _, v in items)
+    return f"map([{keys}], [{vals}])"
+
+
+def perplexity_duckdb_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "log_ppl",
+    max_chars: int = MAX_SCORED_CHARS,
+) -> str:
+    """Full SELECT replaying :func:`log_perplexity_py` in DuckDB.
+
+    Map extraction ``m[k]`` yields a list in DuckDB (empty on miss), so
+    lookups are ``coalesce(m[k][1], 0)``; the per-position fold uses
+    ``list_reduce`` which accumulates left-to-right, matching the Python
+    loop's summation order exactly."""
+    l3, l2, l1, l0 = LAMBDAS
+
+    def tri_at(i: str) -> str:
+        return f"coalesce(tri[substr(s,{i}-2,3)][1], 0)"
+
+    def bi_at(off: int) -> str:
+        return f"coalesce(bi[substr(s,i-{off},2)][1], 0)"
+
+    def uni_at(off: int) -> str:
+        return f"coalesce(uni[substr(s,i-{off},1)][1], 0)"
+
+    p3 = f"(CASE WHEN {bi_at(2)} > 0 THEN {tri_at('i')} / {bi_at(2)} ELSE 0.0 END)"
+    p2 = f"(CASE WHEN {uni_at(1)} > 0 THEN {bi_at(1)} / {uni_at(1)} ELSE 0.0 END)"
+    p1 = f"({uni_at(0)} / {_TOTAL})"
+    p = f"{l3} * {p3} + {l2} * {p2} + {l1} * {p1} + {l0} / {VOCAB_SIZE}"
+    return f"""
+WITH model AS (
+  SELECT {_sql_map(_TRI)} AS tri, {_sql_map(_BI)} AS bi, {_sql_map(_UNI)} AS uni),
+base AS (
+  SELECT {id_col}, '  ' || substr(lower({text_col}), 1, {max_chars}) AS s
+  FROM {table} WHERE {text_col} IS NOT NULL),
+scored AS (
+  SELECT {id_col}, length(s) - 2 AS n,
+    list_reduce(
+      list_transform(range(3, length(s) + 1), i -> ln({p})),
+      (a, b) -> a + b) AS logp
+  FROM base, model
+  WHERE length(s) - 2 >= 3)
+SELECT d.{id_col}, round(-sc.logp / sc.n, 6) AS {out_col}
+FROM {table} d LEFT JOIN scored sc ON d.{id_col} = sc.{id_col}
+"""
