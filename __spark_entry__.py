@@ -42,13 +42,21 @@ from greatex_spark.functions.textstats import (
     detect_lang_duckdb_sql,
     whitespace_token_count,
 )
-from greatex_spark.operators.ann import brute_force_topk, lsh_topk
+from greatex_spark.operators.ann import (
+    brute_force_topk,
+    embedding_cosine_dedup_duckdb_sql,
+    lsh_topk,
+    lsh_topk_duckdb_sql,
+)
 from greatex_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
+    minhash_lsh_dedup_duckdb_sql,
     ngram_jaccard,
     ngram_jaccard_dedup,
+    ngram_jaccard_dedup_duckdb_sql,
     simhash_dedup,
+    simhash_dedup_duckdb_sql,
 )
 from greatex_spark.operators.multimodal import extract_features, media_from_text
 from greatex_spark.pages import generate_pages
@@ -619,23 +627,29 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup removal (xxhash64 signatures — rows-only
-    check; the hash family is Spark-native)."""
+    """MinHash+LSH near-dup removal — md5-family spec signatures, so the
+    DuckDB oracle replays every decision (keep the xxhash64 family for
+    the pipeline hot path)."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs, "text", "doc_id").select("doc_id", "n_chars")
+    return minhash_lsh_dedup(docs, "text", "doc_id", family="md5").select(
+        "doc_id", "n_chars"
+    )
 
 
 def doc_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup(docs, "text", "doc_id").select("doc_id", "n_chars")
+    return simhash_dedup(docs, "text", "doc_id", family="md5").select(
+        "doc_id", "n_chars"
+    )
 
 
 def doc_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates + exact n-gram-Jaccard verification at 0.8."""
+    """LSH candidates + exact n-gram-Jaccard verification at 0.8; text
+    never enters a shuffle (verification runs on n-gram hash sets)."""
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_dedup(docs, "text", "doc_id", n=3, threshold=0.8).select(
-        "doc_id", "n_chars"
-    )
+    return ngram_jaccard_dedup(
+        docs, "text", "doc_id", n=3, threshold=0.8, family="md5"
+    ).select("doc_id", "n_chars")
 
 
 def doc_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +734,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8)
     return lsh_topk(queries_df, emb, dim=64, k=5)
+
+
+def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate removal (fifth dedup family): drop a row
+    iff a lower-id row in the same random-hyperplane bucket has cosine
+    ≥ threshold.  Seeded-literal planes + sequential IEEE folds → the
+    DuckDB oracle replays the same drops."""
+    from greatex_spark.operators.ann import embedding_cosine_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_dedup(emb, dim=64, threshold=0.3).select(
+        "vec_id", "label"
+    )
 
 
 def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "emb_cosine_dedup": emb_cosine_dedup,
         "emb_label_stats": emb_label_stats,
         "pipeline_pages_gold": pipeline_pages_gold,
         "pipeline_lineage_metrics": pipeline_lineage_metrics,
@@ -936,16 +964,23 @@ QUALIFY row_number() OVER (
   PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
   ORDER BY doc_id ASC) = 1
 """,
+        "doc_minhash_dedup": minhash_lsh_dedup_duckdb_sql("t.doc_id, t.n_chars"),
+        "doc_simhash_dedup": simhash_dedup_duckdb_sql("t.doc_id, t.n_chars"),
+        "doc_jaccard_dedup": ngram_jaccard_dedup_duckdb_sql("t.doc_id, t.n_chars"),
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
         "ann_brute_topk": _ann_brute_topk_sql(),
+        "ann_lsh_topk": lsh_topk_duckdb_sql("vec_id < 8"),
+        "emb_cosine_dedup": embedding_cosine_dedup_duckdb_sql(
+            "t.vec_id, t.label", threshold=0.3
+        ),
         "emb_label_stats": """
 SELECT label, count(*) AS n,
   min(CAST(embedding[1] AS DOUBLE)) AS min_first,
   max(CAST(embedding[1] AS DOUBLE)) AS max_first
 FROM embeddings GROUP BY label
 """,
-        # omitted (rows-only by design): doc_minhash_dedup, doc_simhash_dedup,
-        # doc_jaccard_dedup (xxhash64-based candidates), ann_lsh_topk
-        # (approximate), pipeline_pages_gold (generated input),
+        # omitted (rows-only by design): ann_ivf_topk (KMeans quantizer —
+        # not SQL-expressible), pipeline_pages_gold / pipeline_lineage_metrics
+        # (generated input, not one of the oracle's registered views),
         # multimodal_features (binary payloads + digest features).
     }

@@ -249,6 +249,115 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins: the projection matrix is a seeded literal, so the
+# bucket assignment (and therefore the full approximate result) replays
+# in SQL.  Dot products fold sequentially (list_reduce) to match the
+# IEEE accumulation order of the Column-side F.aggregate fold exactly —
+# bucket sign bits and threshold compares are then bit-identical.
+
+
+def _planes_sql(dim: int, num_bits: int, seed: int = 7) -> str:
+    planes = _projection_matrix(dim, num_bits, seed)
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
+    ) + "]"
+
+
+def _seq_dot_sql(vec: str, plane: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({vec}[i] AS DOUBLE) * {plane}[i]), (a, b) -> a + b)"
+    )
+
+
+def _seq_cosine_sql(a: str, b: str, dim: int) -> str:
+    dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), (x, y) -> x + y))"
+        )
+
+    return (
+        f"CASE WHEN {norm(a)} * {norm(b)} > 0 "
+        f"THEN {dot} / ({norm(a)} * {norm(b)}) ELSE 0.0 END"
+    )
+
+
+def _bucket_terms_sql(vec: str, dim: int, num_bits: int, planes_ref: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_seq_dot_sql(vec, f'{planes_ref}[{b + 1}]', dim)} >= 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(num_bits)
+    )
+
+
+def lsh_topk_duckdb_sql(
+    query_filter: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    num_bits: int = 8,
+    seed: int = 7,
+) -> str:
+    """Oracle for :func:`lsh_topk` with ``multiprobe=1``."""
+    terms = _bucket_terms_sql(vec_col, dim, num_bits, "p")
+    probe_list = ", ".join(f"xor(bucket, {1 << i})" for i in range(num_bits))
+    cos = _seq_cosine_sql("pr.qemb", f"c.{vec_col}", dim)
+    return f"""
+WITH planes AS (SELECT {_planes_sql(dim, num_bits, seed)} AS p),
+cb AS (
+  SELECT {id_col}, {vec_col}, ({terms}) AS bucket FROM {table}, planes),
+probes AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qemb,
+         unnest([bucket, {probe_list}]) AS bucket
+  FROM cb WHERE {query_filter}),
+scored AS (
+  SELECT pr.query_id, c.{id_col} AS neighbor_id, round({cos}, 6) AS score
+  FROM probes pr JOIN cb c ON pr.bucket = c.bucket AND c.{id_col} != pr.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
+           AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_cosine_dedup_duckdb_sql(
+    select_cols: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.98,
+    num_bits: int = 8,
+    seed: int = 7,
+) -> str:
+    """Oracle for :func:`embedding_cosine_dedup`."""
+    terms = _bucket_terms_sql(vec_col, dim, num_bits, "p")
+    cos = _seq_cosine_sql(f"l.{vec_col}", f"r.{vec_col}", dim)
+    return f"""
+WITH planes AS (SELECT {_planes_sql(dim, num_bits, seed)} AS p),
+cb AS (
+  SELECT {id_col}, {vec_col}, ({terms}) AS bucket FROM {table}, planes),
+dropped AS (
+  SELECT DISTINCT l.{id_col} AS did
+  FROM cb l JOIN cb r ON l.bucket = r.bucket AND l.{id_col} > r.{id_col}
+  WHERE {cos} >= {threshold})
+SELECT {select_cols} FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT did FROM dropped)
+"""
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     dim: int,

@@ -13,9 +13,20 @@ Four families, all shuffle-conscious and 100%-JVM in the hot path:
 - **n-gram Jaccard**: exact similarity on candidate pairs (a Column
   combinator usable after any candidate generator).
 
-Determinism: every hash is ``xxhash64`` with an explicit per-
-permutation literal salt — stable across Spark versions, partitions,
-and cluster sizes.
+Hash families (``family=`` on every operator):
+
+- ``"md5"`` (default, the SPEC): 60-bit hashes from the first 15 hex
+  chars of md5 — md5 exists in BOTH Spark and DuckDB with identical
+  output, so every dedup decision replays in the SQL oracle
+  (``*_duckdb_sql`` generators below).  MinHash permutations are
+  universal-hash arithmetic ``(a·(h mod 2³¹−1) + b) mod 2⁶¹−1`` with
+  seeded literal constants — overflow-free in both engines' BIGINT.
+- ``"xxhash64"``: Spark-native, numerically-composed (no shingle
+  strings materialized) — the faster hot path for the pipeline, not
+  oracle-replayable (DuckDB has no xxhash64).
+
+Both are deterministic across partitions, cluster sizes, and Spark
+versions.
 
 Scale notes (10^12 docs): the only shuffles are (a) the band-bucket
 exchange, whose width is ``num_bands × docs`` small rows (doc_id +
@@ -28,10 +39,52 @@ array at a time.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from greatex_spark.functions.textstats import normalize_for_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# md5-derived hash family (oracle-replayable)
+
+MOD31 = 2147483647  # 2^31 - 1
+MERSENNE61 = (1 << 61) - 1
+
+# DuckDB fragment of normalize_for_fingerprint (same as the green
+# doc_exact_dedup oracle)
+_DD_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+def md5_long(c: Column) -> Column:
+    """60-bit hash: first 15 hex chars of md5, parsed base-16.  Twin of
+    :func:`md5_long_sql` — identical values in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def perm_constants(num_perm: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the universal-hash MinHash permutations;
+    shared by the Spark builder and the DuckDB SQL generator."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MOD31, num_perm)
+    b = rng.integers(0, MOD31, num_perm)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def _perm(h: Column, a: int, b: int) -> Column:
+    # a, h%MOD31 < 2^31 → product < 2^62: no 64-bit overflow in either engine
+    return (F.lit(a).cast("long") * (h % F.lit(MOD31)) + F.lit(b).cast("long")) % F.lit(
+        MERSENNE61
+    )
+
+
+def _perm_sql(h: str, a: int, b: int) -> str:
+    return f"(({a}::BIGINT * ({h} % {MOD31}) + {b}::BIGINT) % {MERSENNE61})"
 
 
 # ---------------------------------------------------------------------------
@@ -64,16 +117,26 @@ def shingles_col(text: Column | str, k: int = 5) -> Column:
     )
 
 
-def shingle_hashes(text: Column | str, k: int = 5) -> Column:
-    """Distinct 64-bit hashes of the word-k-shingles, composed NUMERICALLY:
-    words are hashed once, then each shingle hash is ``xxhash64`` of the
-    k word-hash longs — the shingle strings are never materialized
-    (word-salad shingle strings were the dominant allocation in the
-    dedup hot path; longs keep the interpreted HOF pass GC-light, which
-    is what lets the stage scale with cores)."""
+def shingle_hashes(text: Column | str, k: int = 5, family: str = "xxhash64") -> Column:
+    """Distinct 64-bit hashes of the word-k-shingles.
+
+    ``xxhash64``: composed NUMERICALLY — words are hashed once, then
+    each shingle hash is ``xxhash64`` of the k word-hash longs; the
+    shingle strings are never materialized (word-salad shingle strings
+    were the dominant allocation in the dedup hot path; longs keep the
+    interpreted HOF pass GC-light, which is what lets the stage scale
+    with cores).
+
+    ``md5``: :func:`md5_long` of each shingle *string* — strings ARE
+    materialized (spec path; replayable in DuckDB)."""
     c = F.col(text) if isinstance(text, str) else text
-    words = F.split(normalize_for_fingerprint(c), " ")
     from greatex_spark.functions.exprs import let
+
+    if family == "md5":
+        return F.array_distinct(
+            F.transform(shingles_col(c, k), lambda s: md5_long(s))
+        )
+    words = F.split(normalize_for_fingerprint(c), " ")
 
     def grams(wh: Column) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(wh) - k, F.lit(0)))
@@ -88,18 +151,36 @@ def shingle_hashes(text: Column | str, k: int = 5) -> Column:
 
 
 def minhash_signature(
-    text: Column | str, num_perm: int = 64, shingle_k: int = 5
+    text: Column | str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    family: str = "xxhash64",
 ) -> Column:
     """Array of ``num_perm`` min-hashes.  Permutation *i* is
-    ``xxhash64(lit(i), shingle_hash)`` — independent hash functions from
-    one seeded family, evaluated entirely in JVM expressions.
+    ``xxhash64(lit(i), shingle_hash)`` for the xxhash64 family, or the
+    literal universal-hash ``(aᵢ·(h mod 2³¹−1) + bᵢ) mod 2⁶¹−1`` for the
+    md5 family — independent hash functions from one seeded family,
+    evaluated entirely in JVM expressions.
 
     The base shingle-hash array is **let-bound** (see
     :mod:`greatex_spark.functions.exprs`): it is evaluated once per row,
     and the ``num_perm`` permutations only re-hash cheap longs.  Without
     this, Catalyst inlines the shingle expression into every permutation
     lambda — a measured ~50× blowup."""
-    base = shingle_hashes(text, shingle_k)
+    from greatex_spark.functions.exprs import let
+
+    base = shingle_hashes(text, shingle_k, family)
+    if family == "md5":
+        consts = perm_constants(num_perm)
+        return let(
+            base,
+            lambda bh: F.array(
+                *[
+                    F.array_min(F.transform(bh, lambda h: _perm(h, a, b)))
+                    for a, b in consts
+                ]
+            ),
+        )
     return F.element_at(
         F.transform(
             F.array(base),
@@ -117,11 +198,31 @@ def band_hashes(
     num_perm: int = 64,
     num_bands: int = 16,
     shingle_k: int = 5,
+    family: str = "xxhash64",
 ) -> Column:
     """LSH band-bucket hashes: the signature is let-bound (see
     :func:`minhash_signature`) so it is computed once, not per band."""
+    from greatex_spark.functions.exprs import let
+
     r = num_perm // num_bands
-    sig = minhash_signature(text, num_perm, shingle_k)
+    sig = minhash_signature(text, num_perm, shingle_k, family)
+    if family == "md5":
+        return let(
+            sig,
+            lambda s: F.array(
+                *[
+                    md5_long(
+                        F.array_join(
+                            F.transform(
+                                F.slice(s, b * r + 1, r), lambda x: x.cast("string")
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(num_bands)
+                ]
+            ),
+        )
     return F.element_at(
         F.transform(
             F.array(sig),
@@ -141,24 +242,35 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     num_bands: int = 16,
     shingle_k: int = 5,
+    family: str = "md5",
 ) -> DataFrame:
     """Drop near-duplicates: a row survives iff its id is the minimum of
     every LSH band bucket it lands in.
 
     ``num_perm=64, num_bands=16`` → r=4 rows/band; the Jaccard s-curve
-    crosses 0.5 near s ≈ (1/b)^(1/r) ≈ 0.5."""
+    crosses 0.5 near s ≈ (1/b)^(1/r) ≈ 0.5.
+
+    The default ``md5`` family is the oracle-replayable spec
+    (:func:`minhash_lsh_dedup_duckdb_sql`); pass ``family="xxhash64"``
+    for the GC-light pipeline hot path."""
     if num_perm % num_bands:
         raise ValueError("num_perm must be divisible by num_bands")
     rows_per_band = num_perm // num_bands
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            band_hashes(F.col(text_col), num_perm, num_bands, shingle_k)
+            band_hashes(F.col(text_col), num_perm, num_bands, shingle_k, family)
         ).alias("__band", "__bucket"),
     )
-    w = Window.partitionBy("__band", "__bucket")
+    # groupBy+join instead of min().over(Window): a window min buffers
+    # every bucket in memory (boilerplate-heavy hot buckets OOM at 100 TB
+    # scale); the aggregate gets map-side partial combine, and both join
+    # sides hash-partition on (band, bucket) off the SAME banded subtree,
+    # so Catalyst reuses one Exchange — signatures are computed and
+    # shuffled exactly once (plan-asserted in tests/test_plans.py).
+    mins = banded.groupBy("__band", "__bucket").agg(F.min("__id").alias("__bucket_min"))
     reps = (
-        banded.withColumn("__bucket_min", F.min("__id").over(w))
+        banded.join(mins, on=["__band", "__bucket"])
         .groupBy("__id")
         .agg(F.min("__bucket_min").alias("__rep"))
         .where(F.col("__id") == F.col("__rep"))
@@ -171,40 +283,40 @@ def minhash_lsh_dedup(
 # SimHash
 
 
-_SIMHASH_MASKS = None
+def _simhash_masks(num_bits: int) -> Column:
+    return F.array(
+        *[
+            F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+            for i in range(num_bits)
+        ]
+    )
 
 
-def _simhash_masks() -> Column:
-    global _SIMHASH_MASKS
-    if _SIMHASH_MASKS is None:
-        _SIMHASH_MASKS = F.array(
-            *[
-                F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
-                for i in range(64)
-            ]
-        )
-    return _SIMHASH_MASKS
+def simhash64(text: Column | str, family: str = "xxhash64") -> Column:
+    """SimHash over word hashes — pure higher-order expressions.
 
-
-def simhash64(text: Column | str) -> Column:
-    """64-bit SimHash over word hashes — pure higher-order expressions.
-
-    bit_i(simhash) = 1  iff  count over words of bit_i(xxhash64(word))
+    bit_i(simhash) = 1  iff  count over words of bit_i(hash(word))
     exceeds n_words/2.  ONE pass over the word-hash array: the per-bit
-    counters live in a 64-long accumulator array updated by a nested
+    counters live in a per-bit accumulator array updated by a nested
     ``zip_with`` against literal bit masks (HOFs are interpreted, so a
-    per-bit ``aggregate`` would re-hash every word 64 times)."""
+    per-bit ``aggregate`` would re-hash every word 64 times).
+
+    ``xxhash64`` family → 64 bits; ``md5`` family → 60 bits (the
+    md5-derived word hash is 60 bits, and 60 = 4 bands × 15 stays
+    oracle-replayable — see :func:`simhash_dedup_duckdb_sql`)."""
     from greatex_spark.functions.exprs import let
 
+    num_bits = 60 if family == "md5" else 64
     c = F.col(text) if isinstance(text, str) else text
     words = F.filter(F.split(normalize_for_fingerprint(c), " "), lambda w: w != F.lit(""))
-    masks = _simhash_masks()
+    masks = _simhash_masks(num_bits)
+    word_hash = (lambda w: md5_long(w)) if family == "md5" else (lambda w: F.xxhash64(w))
 
     def from_hashes(hashes: Column) -> Column:
         n = F.size(hashes)
         counts = F.aggregate(
             hashes,
-            F.array_repeat(F.lit(0).cast("long"), 64),
+            F.array_repeat(F.lit(0).cast("long"), num_bits),
             lambda acc, h: F.zip_with(
                 acc, masks, lambda a, m: a + (h.bitwiseAND(m) != 0).cast("long")
             ),
@@ -219,7 +331,7 @@ def simhash64(text: Column | str) -> Column:
             lambda acc, v: acc.bitwiseOR(v),
         )
 
-    return let(F.transform(words, lambda w: F.xxhash64(w)), from_hashes)
+    return let(F.transform(words, word_hash), from_hashes)
 
 
 def simhash_dedup(
@@ -227,25 +339,32 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    family: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup filter, candidate-generate + verify:
 
     1. signature computed ONCE per row (own projection);
-    2. candidates = pairs sharing any of the four 16-bit bands (by the
+    2. candidates = pairs sharing any of the four bands (by the
        pigeonhole principle this catches every pair with Hamming ≤ 3);
     3. verify with an exact popcount on the XOR of full signatures;
     4. drop the higher id of each verified pair.
 
     The band exchange shuffles only (id, band, bucket, sig) rows; the
     verify join never sees more than one bucket's candidates."""
-    sigs = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sim"))
+    band_bits = 15 if family == "md5" else 16
+    band_mask = (1 << band_bits) - 1
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash64(text_col, family).alias("__sim")
+    )
     banded = sigs.select(
         "__id",
         "__sim",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("__sim"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("__sim"), b * band_bits).bitwiseAND(
+                        F.lit(band_mask)
+                    )
                     for b in range(4)
                 ]
             )
@@ -290,6 +409,15 @@ def ngram_jaccard(a: Column | str, b: Column | str, n: int = 3) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def ngram_hash_set(text: Column | str, n: int = 3, family: str = "md5") -> Column:
+    """Distinct hashes of the word-n-gram set — the compact identity a
+    candidate pair is verified on (jaccard on hash sets equals jaccard
+    on gram sets up to hash collisions; spec semantics)."""
+    grams = ngram_set(text, n)
+    hash_fn = (lambda g: md5_long(g)) if family == "md5" else (lambda g: F.xxhash64(g))
+    return F.array_distinct(F.transform(grams, hash_fn))
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -298,28 +426,205 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     num_perm: int = 16,
     num_bands: int = 8,
+    family: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification:
     drop a row iff a lower-id candidate has Jaccard ≥ threshold.  The
     verify join only materializes candidate pairs (bucket co-members),
-    never the quadratic cross product."""
+    never the quadratic cross product.
+
+    Scale path: the band exchange carries ONLY (id, bucket) — document
+    text never enters a shuffle.  Candidate id-pairs (few) then join the
+    per-doc n-gram *hash set* table twice to verify; the gram-hash
+    arrays are the only wide payload shuffled, and only once each."""
     banded = df.select(
         F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__text"),
-        F.explode(band_hashes(F.col(text_col), num_perm, num_bands, shingle_k=n)).alias(
-            "__bucket"
-        ),
+        F.explode(
+            band_hashes(F.col(text_col), num_perm, num_bands, shingle_k=n, family=family)
+        ).alias("__bucket"),
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    dropped = (
+    pairs = (
         left.join(
             right,
             (F.col("l.__bucket") == F.col("r.__bucket"))
             & (F.col("l.__id") > F.col("r.__id")),
         )
-        .where(ngram_jaccard(F.col("l.__text"), F.col("r.__text"), n) >= threshold)
-        .select(F.col("l.__id").alias(id_col))
+        .select(F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb"))
+        .distinct()
+    )
+    grams = df.select(
+        F.col(id_col).alias("__gid"), ngram_hash_set(F.col(text_col), n, family).alias("__grams")
+    )
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("double")
+    union = F.size(F.array_union(F.col("__ga"), F.col("__gb"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    dropped = (
+        pairs.join(grams.select(F.col("__gid"), F.col("__grams").alias("__ga")),
+                   pairs.__ida == F.col("__gid")).drop("__gid")
+        .join(grams.select(F.col("__gid"), F.col("__grams").alias("__gb")),
+              F.col("__idb") == F.col("__gid")).drop("__gid")
+        .where(jac >= threshold)
+        .select(F.col("__ida").alias(id_col))
         .distinct()
     )
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (md5 family).  Each generator replays the exact
+# md5-family decision procedure in SQL: same normalization, same 60-bit
+# md5 hashes, same literal permutation constants, same survivor rule.
+
+
+def _norm_sql(text_col: str) -> str:
+    return _DD_NORM.format(c=text_col)
+
+
+def _minhash_ctes_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    num_bands: int,
+    shingle_k: int,
+) -> str:
+    """CTEs ``__sh`` (shingle hashes), ``__sig`` (signature), ``__banded``
+    (one row per band with the bucket hash) — the SQL twin of
+    :func:`band_hashes` with ``family="md5"``."""
+    r = num_perm // num_bands
+    k = shingle_k
+    words = f"string_split({_norm_sql(text_col)}, ' ')"
+    grams = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({words}) - {k}, 0) + 2), "
+        f"i -> array_to_string(list_slice({words}, i, i + {k - 1}), ' ')))"
+    )
+    sh = (
+        f"SELECT {id_col}, "
+        f"list_distinct(list_transform({grams}, g -> {md5_long_sql('g')})) AS h "
+        f"FROM {table}"
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, x -> {_perm_sql('x', a, b)}))"
+        for a, b in perm_constants(num_perm)
+    )
+    sig = f"SELECT {id_col}, [{sig_elems}] AS s FROM __sh"
+    band_selects = []
+    for b in range(num_bands):
+        joined = (
+            f"array_to_string(list_transform(s[{b * r + 1}:{b * r + r}], "
+            f"x -> x::VARCHAR), ',')"
+        )
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band, {md5_long_sql(joined)} AS bucket FROM __sig"
+        )
+    banded = "\nUNION ALL ".join(band_selects)
+    return f"__sh AS ({sh}),\n__sig AS ({sig}),\n__banded AS ({banded})"
+
+
+def minhash_lsh_dedup_duckdb_sql(
+    select_cols: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+) -> str:
+    """Oracle for :func:`minhash_lsh_dedup` (md5 family): a row survives
+    iff its id equals the min over its band buckets of the bucket min."""
+    ctes = _minhash_ctes_sql(table, id_col, text_col, num_perm, num_bands, shingle_k)
+    return f"""
+WITH {ctes},
+__mins AS (
+  SELECT band, bucket, min({id_col}) AS bmin FROM __banded GROUP BY band, bucket),
+__reps AS (
+  SELECT b.{id_col}, min(m.bmin) AS rep
+  FROM __banded b JOIN __mins m ON b.band = m.band AND b.bucket = m.bucket
+  GROUP BY b.{id_col})
+SELECT {select_cols} FROM {table} t
+JOIN __reps r ON t.{id_col} = r.{id_col} AND r.rep = t.{id_col}
+"""
+
+
+def simhash_dedup_duckdb_sql(
+    select_cols: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """Oracle for :func:`simhash_dedup` (md5 family, 60-bit signature,
+    4 bands × 15 bits)."""
+    words = (
+        f"list_filter(string_split({_norm_sql(text_col)}, ' '), w -> w != '')"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> ((x >> {i}) & 1) = 1)) > len(h) "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    bands = "\nUNION ALL ".join(
+        f"SELECT {id_col}, sim, {b} AS band, (sim >> {b * 15}) & 32767 AS bucket "
+        f"FROM __sim"
+        for b in range(4)
+    )
+    return f"""
+WITH __wh AS (
+  SELECT {id_col}, list_transform({words}, w -> {md5_long_sql('w')}) AS h
+  FROM {table}),
+__sim AS (SELECT {id_col}, ({terms}) AS sim FROM __wh),
+__banded AS ({bands}),
+__dropped AS (
+  SELECT DISTINCT l.{id_col} AS did
+  FROM __banded l JOIN __banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.{id_col} > r.{id_col}
+  WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming})
+SELECT {select_cols} FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT did FROM __dropped)
+"""
+
+
+def ngram_jaccard_dedup_duckdb_sql(
+    select_cols: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    num_bands: int = 8,
+) -> str:
+    """Oracle for :func:`ngram_jaccard_dedup` (md5 family): LSH band
+    candidates + exact jaccard on the n-gram hash sets."""
+    ctes = _minhash_ctes_sql(table, id_col, text_col, num_perm, num_bands, n)
+    wf = f"list_filter(string_split({_norm_sql(text_col)}, ' '), w -> w != '')"
+    grams = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({wf}) - {n}, 0) + 2), "
+        f"i -> array_to_string(list_slice({wf}, i, i + {n - 1}), ' ')))"
+    )
+    return f"""
+WITH {ctes},
+__grams AS (
+  SELECT {id_col} AS gid,
+    list_distinct(list_transform({grams}, g -> {md5_long_sql('g')})) AS gh
+  FROM {table}),
+__pairs AS (
+  SELECT DISTINCT l.{id_col} AS ida, r.{id_col} AS idb
+  FROM __banded l JOIN __banded r
+    ON l.bucket = r.bucket AND l.{id_col} > r.{id_col}),
+__dropped AS (
+  SELECT DISTINCT p.ida AS did
+  FROM __pairs p
+  JOIN __grams a ON a.gid = p.ida
+  JOIN __grams b ON b.gid = p.idb
+  WHERE CASE WHEN len(list_distinct(list_concat(a.gh, b.gh))) > 0
+        THEN CAST(len(list_intersect(a.gh, b.gh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.gh, b.gh)))
+        ELSE 0.0 END >= {threshold})
+SELECT {select_cols} FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT did FROM __dropped)
+"""

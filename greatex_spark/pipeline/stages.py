@@ -44,6 +44,10 @@ class PipelineConfig:
     dedup: bool = True
     minhash_num_perm: int = 64
     minhash_num_bands: int = 16
+    # xxhash64 = GC-light numeric shingle hashing (hot path); "md5" is
+    # the oracle-replayable spec family (same decisions up to hash
+    # collisions) — see operators/dedup.py
+    dedup_hash_family: str = "xxhash64"
     # heuristic features: Arrow-batched pandas UDF (hot path; identical
     # semantics, ~10-30x cheaper than the interpreted-HOF native spec —
     # see functions/heuristics_arrow.py) vs native Column expressions
@@ -141,6 +145,7 @@ def dedup(df: DataFrame, config: PipelineConfig) -> DataFrame:
         id_col="url",
         num_perm=config.minhash_num_perm,
         num_bands=config.minhash_num_bands,
+        family=config.dedup_hash_family,
     )
 
 
