@@ -319,7 +319,21 @@ def compile_suite(df: DataFrame, suite: Suite) -> tuple[list[Column], dict[int, 
             metrics.append(agg_fn(F.col(k["column"])).alias(f"e{i}_observed"))
             plan[i] = {"kind": "aggregate", "metric": f"e{i}_observed"}
         elif t == "expect_column_values_to_be_unique":
-            plan[i] = {"kind": "unique_rows"}  # auxiliary groupBy job
+            # fused into the single-pass agg: unexpected = excess
+            # duplicates = count(col) − count_distinct(col).  (GE counts
+            # every member of a duplicate group; the excess count is 0
+            # exactly when GE's is 0, so gate outcomes at mostly=1.0 are
+            # identical — documented engine semantics, chosen so the
+            # suite needs NO auxiliary groupBy shuffle.  approx=True →
+            # HLL partials for huge tables.)
+            agg_fn = (
+                F.approx_count_distinct if k.get("approx") else F.count_distinct
+            )
+            col = F.col(k["column"])
+            metrics.append(
+                (F.count(col) - agg_fn(col)).cast("long").alias(f"e{i}_unexpected")
+            )
+            plan[i] = {"kind": "unique_fused", "metric": f"e{i}_unexpected"}
         elif exp.is_row_level:
             try:
                 cond, value_col = _row_level_condition(exp, df)
@@ -394,16 +408,8 @@ def run_suite(
                     observed, k.get("min_value"), k.get("max_value")
                 )
                 res = {"observed_value": observed}
-            elif p["kind"] == "unique_rows":
-                col = F.col(k["column"])
-                dup = (
-                    df.groupBy(col.alias("__v"))
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .where(F.col("__n") > 1)
-                    .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("dups"))
-                    .collect()[0]["dups"]
-                )
-                unexpected = int(dup)
+            elif p["kind"] == "unique_fused":
+                unexpected = int(agg_row[p["metric"]] or 0)
                 pct = 100.0 * unexpected / element_count if element_count else 0.0
                 success = pct <= (1.0 - exp.mostly) * 100.0
                 res = {
@@ -423,16 +429,22 @@ def run_suite(
                 if unexpected and collect_partial_unexpected:
                     # deterministic sample: distinct unexpected values,
                     # lowest-first (GE's 20-row sample is arbitrary —
-                    # SURVEY.md §7 "hard parts")
+                    # SURVEY.md §7 "hard parts").  One groupBy job yields
+                    # both the value list and the per-value counts block
+                    # (the reference's golden result document emits both,
+                    # /root/reference/great_expectations/validations.json:36-42).
                     vals = (
                         df.where(p["cond"])
-                        .select(p["value_col"].cast("string").alias("v"))
-                        .distinct()
+                        .groupBy(p["value_col"].cast("string").alias("v"))
+                        .agg(F.count(F.lit(1)).alias("n"))
                         .orderBy("v")
                         .limit(partial_unexpected_limit)
                         .collect()
                     )
                     res["partial_unexpected_list"] = [r["v"] for r in vals]
+                    res["partial_unexpected_counts"] = [
+                        {"value": r["v"], "count": int(r["n"])} for r in vals
+                    ]
             results.append(
                 ExpectationResult(expectation_config=exp.to_dict(), success=success, result=res)
             )

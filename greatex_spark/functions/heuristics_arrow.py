@@ -61,7 +61,11 @@ QUALITY_STRUCT_TYPE = T.StructType(
     ]
 )
 
-_JAVA_WS = "".join(chr(c) for c in range(0x21))  # java trim(): chars <= U+0020
+# Spark SQL F.trim removes ONLY the space character — the native spec
+# uses it for the terminal-punct and bullet/ellipsis line rules, so the
+# Python twin must strip ' ' alone (stripping all chars <= U+0020 made
+# tab-padded lines diverge from the oracle-checked spec)
+_SPARK_TRIM = " "
 
 
 def _features_one(text: str | None) -> tuple:
@@ -80,7 +84,7 @@ def _features_one(text: str | None) -> tuple:
         else:
             dup.append(0.0)
     lower = text.lower()
-    trimmed = text.strip(_JAVA_WS)
+    trimmed = text.strip(_SPARK_TRIM)
     return (
         len(text),
         len(words),
@@ -89,8 +93,8 @@ def _features_one(text: str | None) -> tuple:
         float(len(_SYMBOL.findall(text))) / nw,
         sum(1 for w in words if w.lower() in _STOP),
         float(sum(1 for w in words if _ALPHA.search(w))) / nw,
-        float(sum(1 for ln in lines if _BULLET.search(ln.strip(_JAVA_WS)))) / nl,
-        float(sum(1 for ln in lines if _ELLIPSIS.search(ln.strip(_JAVA_WS)))) / nl,
+        float(sum(1 for ln in lines if _BULLET.search(ln.strip(_SPARK_TRIM)))) / nl,
+        float(sum(1 for ln in lines if _ELLIPSIS.search(ln.strip(_SPARK_TRIM)))) / nl,
         dup[0],
         dup[1],
         bool(_TERMINAL.search(trimmed)),

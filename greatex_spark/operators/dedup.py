@@ -243,6 +243,7 @@ def minhash_lsh_dedup(
     num_bands: int = 16,
     shingle_k: int = 5,
     family: str = "md5",
+    persist_banded: bool = True,
 ) -> DataFrame:
     """Drop near-duplicates: a row survives iff its id is the minimum of
     every LSH band bucket it lands in.
@@ -264,10 +265,17 @@ def minhash_lsh_dedup(
     )
     # groupBy+join instead of min().over(Window): a window min buffers
     # every bucket in memory (boilerplate-heavy hot buckets OOM at 100 TB
-    # scale); the aggregate gets map-side partial combine, and both join
-    # sides hash-partition on (band, bucket) off the SAME banded subtree,
-    # so Catalyst reuses one Exchange — signatures are computed and
-    # shuffled exactly once (plan-asserted in tests/test_plans.py).
+    # scale); the aggregate streams with map-side partial combine.  The
+    # banded projection feeds BOTH the bucket-min aggregate and the join
+    # probe — Catalyst cannot ReuseExchange across it (the interpreted
+    # HOF lambdas defeat plan canonicalization), so the narrow
+    # (id, band, bucket) projection is persisted (spills to disk) to keep
+    # the expensive signature computation to exactly one pass.  The
+    # ContextCleaner drops the cache once the frame is unreachable.
+    if persist_banded:
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     mins = banded.groupBy("__band", "__bucket").agg(F.min("__id").alias("__bucket_min"))
     reps = (
         banded.join(mins, on=["__band", "__bucket"])

@@ -13,6 +13,8 @@ the AirflowException equivalent.
 
 from __future__ import annotations
 
+import logging
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,7 +67,38 @@ class Checkpoint:
     store_metrics: bool = True
     raise_on_failure: bool = True
     collect_partial_unexpected: bool = True
+    # failure-notification hook — the library-call recast of the
+    # reference's EmailAction on failed checkpoints
+    # (/root/reference/dags/scripts/python/utils.py:36-52,
+    # great_expectations/checkpoints/retail_source_checkpoint.yml:20-34).
+    # Called with the ValidationResult BEFORE GateFailed is raised; use
+    # log_failure_action for the built-in logging notifier, or plug in
+    # pager/email senders.
+    on_failure: Callable[["ValidationResult"], None] | None = None
     extra: dict = field(default_factory=dict)
+
+
+def log_failure_action(validation: ValidationResult) -> None:
+    """Built-in on_failure notifier: logs the failed suite and each
+    failed expectation (the sandbox stand-in for the reference's SMTP
+    EmailAction — same trigger point, same payload)."""
+    log = logging.getLogger("greatex_spark.checkpoint")
+    stats = validation.statistics
+    log.error(
+        "checkpoint FAILED: suite=%s batch=%s %d/%d expectations failed",
+        validation.suite_name,
+        validation.batch_identifier,
+        stats["unsuccessful_expectations"],
+        stats["evaluated_expectations"],
+    )
+    for r in validation.results:
+        if not r.success:
+            log.error(
+                "  failed expectation %s(%s): unexpected_count=%s",
+                r.expectation_config["expectation_type"],
+                r.expectation_config.get("kwargs", {}).get("column", ""),
+                r.result.get("unexpected_count"),
+            )
 
 
 def store_metrics(
@@ -104,11 +137,15 @@ def store_partition_lineage(
             F.lit(table_name).alias("table_name"),
             F.lit(epoch).cast("long").alias("checkpoint_epoch"),
             F.lit(run_name).alias("run_name"),
-            F.col("partition_id"),
-            F.col("row_count"),
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.col("row_count").cast("long").alias("row_count"),
         )
     )
-    catalog.append(spark.createDataFrame(lineage.collect(), LINEAGE_SCHEMA), LINEAGE_TABLE)
+    # written directly — no driver round-trip: at 100 TB this is one row
+    # per partition (~100k rows/stage) and bouncing them through
+    # collect()+createDataFrame serializes the whole artifact on the
+    # driver for no reason
+    catalog.append(lineage, LINEAGE_TABLE)
 
 
 def run_checkpoint(
@@ -129,6 +166,8 @@ def run_checkpoint(
     )
     if checkpoint.store_metrics and catalog is not None:
         store_metrics(spark, catalog, validation, epoch)
+    if not validation.success and checkpoint.on_failure is not None:
+        checkpoint.on_failure(validation)
     if checkpoint.raise_on_failure and not validation.success:
         raise GateFailed(validation)
     return validation

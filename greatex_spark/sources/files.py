@@ -160,3 +160,17 @@ def sample_batch(df: DataFrame, n: int = 1000) -> DataFrame:
     """Profiling sample (C2 — the reference's ``LIMIT 1000`` runtime
     batch, ``retail_source.py:35-43``); authoring only, never a gate."""
     return df.limit(n)
+
+
+def datasource_smoke(
+    spark: SparkSession, path: str, fmt: str = "parquet", n: int = 5
+) -> int:
+    """Datasource connection smoke test (D7 — the reference's
+    ``test_yaml_config`` + head-rows probe, ``retail_source.py:72-97``):
+    read at most ``n`` rows and return how many came back; raises if the
+    source is unreachable or unreadable.  LIMIT is pushed to the scan —
+    this never scans the table."""
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return len(reader.format(fmt).load(path).limit(n).collect())

@@ -9,6 +9,9 @@ rows to the metrics table.  ``Trigger.AvailableNow`` drains whatever
 has landed and stops — the streaming equivalent of the reference's
 daily batch run, but resumable at file granularity via the streaming
 checkpoint (kill and re-run: already-committed files are skipped).
+``foreachBatch`` delivery is at-least-once; the per-batch write
+dynamic-overwrites its own ``__batch_id`` partition, so a replayed
+batch lands on top of itself — effective exactly-once output.
 
 Scale notes: the file source lists the landing dir incrementally
 (``maxFilesPerTrigger`` caps batch width); the gate is the same ONE
@@ -57,8 +60,17 @@ def gated_ingest(
         if metrics_rows is not None:
             metrics_rows.extend(vr.to_metrics_rows())
         target = bronze_dir if vr.success else quarantine_dir
-        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            target
+        # idempotent write: foreachBatch is at-least-once — a crash
+        # between the write and the checkpoint commit replays the batch.
+        # Dynamic-overwriting the __batch_id=<id> partition makes the
+        # replay a no-op instead of duplicating rows (effective
+        # exactly-once for the committed output).
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(target)
         )
 
     (

@@ -149,7 +149,9 @@ def test_extension_expectations(spark):
     vr = run_suite(df, suite)
     assert vr.success, [r.expectation_config for r in vr.results if not r.success]
     uniq = vr.results[5]
-    assert uniq.result["unexpected_count"] == 2  # both "abcdef" rows
+    # excess-duplicate semantics: count − count_distinct (one "abcdef"
+    # beyond the first), fused into the single-pass agg
+    assert uniq.result["unexpected_count"] == 1
 
 
 def test_values_to_be_unique_fails(spark):

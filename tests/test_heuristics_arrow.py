@@ -61,6 +61,13 @@ def test_arrow_matches_native_edge_cases(spark):
         "tab\tseparated\twords here",
         "trailing spaces   ",
         "### ### ### hash heavy",
+        # tab-led / control-char padded lines: Spark F.trim strips ONLY
+        # spaces, so the bullet regex must still see the leading tab and
+        # the terminal-punct rule the trailing tab
+        "\t- tab-led bullet\n\t* another\n  - space-led bullet",
+        "ends with tab then period.\t",
+        "line ends in dots...\t\nreal terminal.",
+        "\x0b vertical tab lead\n- bullet",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
     native = df.select("i", quality_struct(F.col("text")).alias("q"))

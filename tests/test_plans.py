@@ -77,3 +77,41 @@ def test_dedup_semi_join_prunes_columns(spark):
     second_scan = plan.split("ReadSchema")[2].splitlines()[0]
     assert any("doc_id" in s and "text" in s and "source" not in s
                for s in (first_scan, second_scan))
+
+
+def test_dedup_survivor_selection_streams(spark):
+    """No window operator may buffer whole band buckets, and the banded
+    projection (the expensive signature computation) must be a cached
+    single pass feeding both the bucket-min aggregate and the join
+    probe (HOF lambdas defeat ReuseExchange canonicalization, so the
+    cache IS the reuse mechanism)."""
+    from greatex_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_lsh_dedup(docs, "text", "doc_id"))
+    assert "Window" not in plan
+    # both consumers read the one cached banded relation (explain prints
+    # the InMemoryRelation's child under every scan, so count scans)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_unique_expectation_fuses_into_single_agg(spark):
+    """expect_column_values_to_be_unique must not spawn an auxiliary
+    groupBy job: the compiled metric list is one agg over the frame."""
+    from greatex_spark.expectations.compiler import compile_suite
+    from greatex_spark.expectations.spec import E, Suite
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    suite = Suite.of(
+        "u",
+        E("expect_column_values_to_not_be_null", column="doc_id"),
+        E("expect_column_values_to_be_unique", column="doc_id"),
+    )
+    metrics, plan_map = compile_suite(docs, suite)
+    assert plan_map[1]["kind"] == "unique_fused"
+    agg_plan = _plan(docs.agg(*metrics))
+    # one scan feeding one (expand-based distinct) aggregate tree — no
+    # join, no window, no second FileScan ("formatted" prints each node
+    # once in the tree and once in the detail block → one scan == 2 hits)
+    assert agg_plan.count("Scan parquet") == 2
+    assert "Window" not in agg_plan and "Join" not in agg_plan
