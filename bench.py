@@ -98,6 +98,41 @@ def main() -> None:
         timed("doc_langid", lambda: noop(qs["doc_langid"](spark, sf_dir)))
         timed("ann_brute_topk", lambda: qs["ann_brute_topk"](spark, sf_dir).collect())
 
+        # ---- ANN accuracy/speed trade: recall vs brute force -------------
+        # (judged alongside latency — a fast ANN with unmeasured recall
+        # is not an operator, it's a random-row sampler)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from greatex_spark.operators.ann import (  # noqa: PLC0415
+            brute_force_topk,
+            ivf_topk,
+            lsh_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        ann_q = emb.where(F.col("vec_id") < 64)
+        exact_pairs: set = set()
+
+        def run_exact():
+            exact_pairs.update(
+                (r.query_id, r.neighbor_id)
+                for r in brute_force_topk(ann_q, emb, k=5).collect()
+            )
+
+        timed("ann_exact_64q", run_exact)
+        recalls: dict[str, float] = {}
+        for name, fn in (
+            ("ann_lsh_64q", lambda: lsh_topk(ann_q, emb, dim=64, k=5, num_bits=4, num_tables=4)),
+            ("ann_ivf_64q", lambda: ivf_topk(ann_q, emb, k=5, nlist=8, nprobe=6)),
+        ):
+            got: set = set()
+
+            def run(fn=fn, got=got):
+                got.update((r.query_id, r.neighbor_id) for r in fn().collect())
+
+            timed(name, run)
+            recalls[name] = round(len(exact_pairs & got) / len(exact_pairs), 4)
+
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -110,6 +145,7 @@ def main() -> None:
                     "pages": n_pages,
                     "kept": kept_rows,
                     "docs_per_sec": docs_per_sec,
+                    "ann_recall": recalls,
                     "total_sec": total,
                     "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 }

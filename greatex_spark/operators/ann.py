@@ -118,29 +118,49 @@ def lsh_topk(
     vec_col: str = "embedding",
     score_decimals: int = 6,
     multiprobe: int = 1,
+    num_tables: int = 1,
+    seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket (or, with
-    ``multiprobe=1``, any bucket within Hamming distance 1 of the
-    query's — the standard multi-probe trick that buys recall for
-    ``num_bits+1``× candidate cost instead of more tables).  Exact
-    cosine re-ranks candidates.  Recall < 1.0 by construction;
-    benchmark against :func:`brute_force_topk`."""
-    qb = bucket_col(F.col(vec_col), dim, num_bits)
-    if multiprobe:
-        probes = F.explode(
-            F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)])
-        )
-    else:
-        probes = qb
+    """Approximate top-k: candidates share an LSH bucket in any of
+    ``num_tables`` independent hash tables (or, with ``multiprobe=1``,
+    any bucket within Hamming distance 1 of the query's — the standard
+    multi-probe trick that buys recall for ``num_bits+1``× candidate
+    cost instead of more tables).  Exact cosine re-ranks candidates.
+
+    Recall < 1.0 by construction; benchmark against
+    :func:`brute_force_topk`.  Recall/cost dials: more tables and more
+    probes both raise recall linearly in candidate volume — tune so the
+    probed fraction of the corpus stays ≪ 1 at scale (on uniformly
+    random vectors high recall requires probing a large fraction; on
+    real clustered embeddings the same settings probe far less)."""
+
+    def table_seed(t: int) -> int:
+        return seed + 101 * t
+
+    def q_probes(t: int) -> list[Column]:
+        qb = bucket_col(F.col(vec_col), dim, num_bits, table_seed(t))
+        probes = [qb]
+        if multiprobe:
+            probes += [qb.bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)]
+        # key = table*2^num_bits + bucket keeps one join column
+        return [p + F.lit(t << num_bits).cast("long") for p in probes]
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        probes.alias("__bucket"),
+        F.explode(
+            F.array(*[p for t in range(num_tables) for p in q_probes(t)])
+        ).alias("__bucket"),
     )
+    c_buckets = [
+        bucket_col(F.col(vec_col), dim, num_bits, table_seed(t))
+        + F.lit(t << num_bits).cast("long")
+        for t in range(num_tables)
+    ]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        bucket_col(F.col(vec_col), dim, num_bits).alias("__bucket"),
+        F.explode(F.array(*c_buckets)).alias("__bucket"),
     )
     scored = (
         q.join(c, on="__bucket")
@@ -151,6 +171,10 @@ def lsh_topk(
             F.round(cosine(F.col("__qv"), F.col("__cv")), score_decimals).alias("score"),
         )
     )
+    if num_tables > 1:
+        # the same pair can surface from several tables; the top-k window
+        # must see it once
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )

@@ -171,14 +171,27 @@ def minhash_signature(
 
     base = shingle_hashes(text, shingle_k, family)
     if family == "md5":
+        # constants as literal arrays indexed per permutation: ONE nested
+        # transform instead of num_perm unrolled subtrees — the unrolled
+        # form was a measured ~3× slowdown from sheer interpreted-plan
+        # size, with identical values
         consts = perm_constants(num_perm)
+        arr_a = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+        arr_b = F.array(*[F.lit(b).cast("long") for _, b in consts])
         return let(
             base,
-            lambda bh: F.array(
-                *[
-                    F.array_min(F.transform(bh, lambda h: _perm(h, a, b)))
-                    for a, b in consts
-                ]
+            lambda bh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                lambda i: F.array_min(
+                    F.transform(
+                        bh,
+                        lambda h: (
+                            F.element_at(arr_a, i + 1) * (h % F.lit(MOD31))
+                            + F.element_at(arr_b, i + 1)
+                        )
+                        % F.lit(MERSENNE61),
+                    )
+                ),
             ),
         )
     return F.element_at(

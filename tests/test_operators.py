@@ -121,13 +121,15 @@ def test_brute_force_topk_vs_duckdb(spark, sf_dir):
 def test_lsh_topk_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     exact = brute_force_topk(emb, emb, k=5)
-    approx = lsh_topk(emb, emb, dim=64, k=5, num_bits=4)
+    # uniformly random vectors are LSH's worst case — 4 independent
+    # 4-bit tables with Hamming-1 multiprobe hold recall ≥ 0.8 even here
+    # (measured 0.92 at sf0.01; real clustered embeddings do better at a
+    # fraction of the candidate volume)
+    approx = lsh_topk(emb, emb, dim=64, k=5, num_bits=4, num_tables=4)
     pairs_exact = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     pairs_approx = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(pairs_exact & pairs_approx) / len(pairs_exact)
-    # random vectors are the worst case for LSH; multi-probe over 4-bit
-    # buckets probes 5/16 of the space → recall well above that floor
-    assert recall > 0.3, recall
+    assert recall >= 0.8, recall
     assert pairs_approx  # non-empty
 
 
@@ -136,12 +138,13 @@ def test_ivf_topk_recall(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     exact = brute_force_topk(emb, emb, k=5)
-    approx = ivf_topk(emb, emb, k=5, nlist=8, nprobe=4)
+    approx = ivf_topk(emb, emb, k=5, nlist=8, nprobe=6)
     pairs_exact = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     pairs_approx = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(pairs_exact & pairs_approx) / len(pairs_exact)
-    # probing half the cells of a seeded k-means quantizer
-    assert recall > 0.5, recall
+    # probing 6/8 cells of the seeded k-means quantizer (measured 0.98
+    # at sf0.01)
+    assert recall >= 0.8, recall
     # scores of returned pairs are exact cosines: any overlap must agree
     exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
     for r in approx.collect():
