@@ -3,10 +3,10 @@
 ``entry(spark)`` — flagship end-to-end quality-filter query at sf0.001.
 ``queries()``   — one callable per implemented operator (SURVEY.md §2).
 ``oracle_sql()`` — equivalent DuckDB SQL per query where the operator is
-SQL-expressible; omitted for hash-based ops (MinHash/SimHash/LSH — they
-depend on Spark's xxhash64) and for the synthetic-page pipeline (its
-input is generated, not one of the oracle's registered views), which the
-driver records as rows-only checks.
+SQL-expressible; omitted only for the KMeans-based IVF quantizer, the
+synthetic-page pipeline entries (their input is generated, not one of
+the oracle's registered views), and binary multimodal features — the
+driver records those as rows-only checks.
 
 Determinism contracts used throughout so Spark and DuckDB hash-match:
 
@@ -14,6 +14,14 @@ Determinism contracts used throughout so Spark and DuckDB hash-match:
   cast back to double;
 - per-row double arithmetic is left unrounded (IEEE ops on identical
   inputs are bit-identical in both engines);
+- integer-count sums CAST to BIGINT in the SQL (DuckDB widens int sums
+  to HUGEINT, which pandas renders float64 and the driver's
+  dtype-sensitive hash then rejects);
+- the dedup/ANN hash family derives 60-bit hashes from md5 (identical
+  in both engines) with literal universal-hash permutation constants —
+  see greatex_spark.operators.dedup;
+- sequential IEEE folds (list_reduce) replay Spark's F.aggregate
+  accumulation order for vector math and the perplexity model;
 - regexes are restricted to the common java.util.regex / RE2 dialect
   (see greatex_spark.functions.pii);
 - rankings round scores to 6 decimals and tie-break on ids.

@@ -87,6 +87,36 @@ def _perm_sql(h: str, a: int, b: int) -> str:
     return f"(({a}::BIGINT * ({h} % {MOD31}) + {b}::BIGINT) % {MERSENNE61})"
 
 
+# shingle hashes compose NUMERICALLY from per-word md5 hashes (shingle
+# strings were a measured ~20× slowdown): two independent 31-bit
+# polynomial states over the k word hashes, concatenated to 62 bits.
+# Every intermediate stays under 2^63, so Spark longs and DuckDB BIGINTs
+# compute identical values with no overflow in either engine.
+_POLY_C1 = 1000003
+_POLY_C2 = 100000007
+
+
+def _compose_hash(word_hashes: list[Column]) -> Column:
+    s1 = F.lit(0).cast("long")
+    s2 = F.lit(0).cast("long")
+    for wh in word_hashes:
+        # coalesce: a shingle window that runs past the word array (short
+        # doc) reads NULL word hashes — fold them as 0, identically in SQL
+        m = F.coalesce(wh, F.lit(0).cast("long")) % F.lit(MOD31)
+        s1 = (s1 * F.lit(_POLY_C1) + m) % F.lit(MOD31)
+        s2 = (s2 * F.lit(_POLY_C2) + m) % F.lit(MOD31)
+    return s1 * F.lit(1 << 31).cast("long") + s2
+
+
+def _compose_hash_sql(terms: list[str]) -> str:
+    s1, s2 = "0::BIGINT", "0::BIGINT"
+    for t in terms:
+        m = f"(coalesce({t}, 0::BIGINT) % {MOD31})"
+        s1 = f"(({s1} * {_POLY_C1} + {m}) % {MOD31})"
+        s2 = f"(({s2} * {_POLY_C2} + {m}) % {MOD31})"
+    return f"({s1} * {1 << 31}::BIGINT + {s2})"
+
+
 # ---------------------------------------------------------------------------
 # exact
 
@@ -132,22 +162,22 @@ def shingle_hashes(text: Column | str, k: int = 5, family: str = "xxhash64") -> 
     c = F.col(text) if isinstance(text, str) else text
     from greatex_spark.functions.exprs import let
 
-    if family == "md5":
-        return F.array_distinct(
-            F.transform(shingles_col(c, k), lambda s: md5_long(s))
-        )
     words = F.split(normalize_for_fingerprint(c), " ")
+    word_hash = (lambda w: md5_long(w)) if family == "md5" else (lambda w: F.xxhash64(w))
 
     def grams(wh: Column) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(wh) - k, F.lit(0)))
-        return F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.xxhash64(*[F.element_at(wh, i + j + 1) for j in range(k)]),
+        if family == "md5":
+            shingle = lambda i: _compose_hash(  # noqa: E731
+                [F.element_at(wh, i + j + 1) for j in range(k)]
             )
-        )
+        else:
+            shingle = lambda i: F.xxhash64(  # noqa: E731
+                *[F.element_at(wh, i + j + 1) for j in range(k)]
+            )
+        return F.array_distinct(F.transform(idx, shingle))
 
-    return let(F.transform(words, lambda w: F.xxhash64(w)), grams)
+    return let(F.transform(words, word_hash), grams)
 
 
 def minhash_signature(
@@ -256,7 +286,6 @@ def minhash_lsh_dedup(
     num_bands: int = 16,
     shingle_k: int = 5,
     family: str = "md5",
-    persist_banded: bool = True,
 ) -> DataFrame:
     """Drop near-duplicates: a row survives iff its id is the minimum of
     every LSH band bucket it lands in.
@@ -266,7 +295,17 @@ def minhash_lsh_dedup(
 
     The default ``md5`` family is the oracle-replayable spec
     (:func:`minhash_lsh_dedup_duckdb_sql`); pass ``family="xxhash64"``
-    for the GC-light pipeline hot path."""
+    for the GC-light pipeline hot path.
+
+    Survivor selection is ONE aggregation chain, no window and no
+    self-join: a doc lands in exactly ``num_bands`` distinct
+    (band, bucket) keys, so *id is the min of every one of its buckets*
+    ⟺ *id appears as a bucket-min exactly ``num_bands`` times*.  The
+    banded projection (the expensive signature pass) is computed once;
+    the only wide exchange is the bucket-min aggregate, collapsed by
+    map-side partial combine to one row per distinct bucket; nothing
+    buffers whole buckets (hot boilerplate buckets stream through the
+    partial min)."""
     if num_perm % num_bands:
         raise ValueError("num_perm must be divisible by num_bands")
     rows_per_band = num_perm // num_bands
@@ -276,26 +315,13 @@ def minhash_lsh_dedup(
             band_hashes(F.col(text_col), num_perm, num_bands, shingle_k, family)
         ).alias("__band", "__bucket"),
     )
-    # groupBy+join instead of min().over(Window): a window min buffers
-    # every bucket in memory (boilerplate-heavy hot buckets OOM at 100 TB
-    # scale); the aggregate streams with map-side partial combine.  The
-    # banded projection feeds BOTH the bucket-min aggregate and the join
-    # probe — Catalyst cannot ReuseExchange across it (the interpreted
-    # HOF lambdas defeat plan canonicalization), so the narrow
-    # (id, band, bucket) projection is persisted (spills to disk) to keep
-    # the expensive signature computation to exactly one pass.  The
-    # ContextCleaner drops the cache once the frame is unreachable.
-    if persist_banded:
-        from pyspark import StorageLevel
-
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    mins = banded.groupBy("__band", "__bucket").agg(F.min("__id").alias("__bucket_min"))
     reps = (
-        banded.join(mins, on=["__band", "__bucket"])
-        .groupBy("__id")
-        .agg(F.min("__bucket_min").alias("__rep"))
-        .where(F.col("__id") == F.col("__rep"))
-        .select(F.col("__id").alias(id_col))
+        banded.groupBy("__band", "__bucket")
+        .agg(F.min("__id").alias("__bmin"))
+        .groupBy("__bmin")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == num_bands)
+        .select(F.col("__bmin").alias(id_col))
     )
     return df.join(reps, on=id_col, how="left_semi")
 
@@ -433,10 +459,28 @@ def ngram_jaccard(a: Column | str, b: Column | str, n: int = 3) -> Column:
 def ngram_hash_set(text: Column | str, n: int = 3, family: str = "md5") -> Column:
     """Distinct hashes of the word-n-gram set — the compact identity a
     candidate pair is verified on (jaccard on hash sets equals jaccard
-    on gram sets up to hash collisions; spec semantics)."""
-    grams = ngram_set(text, n)
-    hash_fn = (lambda g: md5_long(g)) if family == "md5" else (lambda g: F.xxhash64(g))
-    return F.array_distinct(F.transform(grams, hash_fn))
+    on gram sets up to hash collisions; spec semantics).  Gram hashes
+    compose numerically from per-word hashes (empty words filtered, as
+    in :func:`ngram_set`) — no gram strings are materialized."""
+    from greatex_spark.functions.exprs import let
+
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(normalize_for_fingerprint(c), " "), lambda w: w != F.lit(""))
+    word_hash = (lambda w: md5_long(w)) if family == "md5" else (lambda w: F.xxhash64(w))
+
+    def grams(wh: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(wh) - n, F.lit(0)))
+        if family == "md5":
+            gram = lambda i: _compose_hash(  # noqa: E731
+                [F.element_at(wh, i + j + 1) for j in range(n)]
+            )
+        else:
+            gram = lambda i: F.xxhash64(  # noqa: E731
+                *[F.element_at(wh, i + j + 1) for j in range(n)]
+            )
+        return F.array_distinct(F.transform(idx, gram))
+
+    return let(F.transform(words, word_hash), grams)
 
 
 def ngram_jaccard_dedup(
@@ -517,15 +561,13 @@ def _minhash_ctes_sql(
     r = num_perm // num_bands
     k = shingle_k
     words = f"string_split({_norm_sql(text_col)}, ' ')"
-    grams = (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len({words}) - {k}, 0) + 2), "
-        f"i -> array_to_string(list_slice({words}, i, i + {k - 1}), ' ')))"
-    )
+    shingle = _compose_hash_sql([f"wh[i + {j}]" for j in range(k)])
     sh = (
         f"SELECT {id_col}, "
-        f"list_distinct(list_transform({grams}, g -> {md5_long_sql('g')})) AS h "
-        f"FROM {table}"
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(wh) - {k}, 0) + 2), i -> {shingle})) AS h "
+        f"FROM (SELECT {id_col}, "
+        f"list_transform({words}, w -> {md5_long_sql('w')}) AS wh FROM {table})"
     )
     sig_elems = ", ".join(
         f"list_min(list_transform(h, x -> {_perm_sql('x', a, b)}))"
@@ -555,18 +597,17 @@ def minhash_lsh_dedup_duckdb_sql(
     shingle_k: int = 5,
 ) -> str:
     """Oracle for :func:`minhash_lsh_dedup` (md5 family): a row survives
-    iff its id equals the min over its band buckets of the bucket min."""
+    iff it is the bucket min in exactly ``num_bands`` buckets (⟺ min of
+    every bucket it lands in)."""
     ctes = _minhash_ctes_sql(table, id_col, text_col, num_perm, num_bands, shingle_k)
     return f"""
 WITH {ctes},
 __mins AS (
   SELECT band, bucket, min({id_col}) AS bmin FROM __banded GROUP BY band, bucket),
 __reps AS (
-  SELECT b.{id_col}, min(m.bmin) AS rep
-  FROM __banded b JOIN __mins m ON b.band = m.band AND b.bucket = m.bucket
-  GROUP BY b.{id_col})
+  SELECT bmin FROM __mins GROUP BY bmin HAVING count(*) = {num_bands})
 SELECT {select_cols} FROM {table} t
-JOIN __reps r ON t.{id_col} = r.{id_col} AND r.rep = t.{id_col}
+JOIN __reps r ON t.{id_col} = r.bmin
 """
 
 
@@ -622,17 +663,15 @@ def ngram_jaccard_dedup_duckdb_sql(
     candidates + exact jaccard on the n-gram hash sets."""
     ctes = _minhash_ctes_sql(table, id_col, text_col, num_perm, num_bands, n)
     wf = f"list_filter(string_split({_norm_sql(text_col)}, ' '), w -> w != '')"
-    grams = (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len({wf}) - {n}, 0) + 2), "
-        f"i -> array_to_string(list_slice({wf}, i, i + {n - 1}), ' ')))"
-    )
+    gram = _compose_hash_sql([f"wh[i + {j}]" for j in range(n)])
     return f"""
 WITH {ctes},
 __grams AS (
   SELECT {id_col} AS gid,
-    list_distinct(list_transform({grams}, g -> {md5_long_sql('g')})) AS gh
-  FROM {table}),
+    list_distinct(list_transform(
+      range(1, greatest(len(wh) - {n}, 0) + 2), i -> {gram})) AS gh
+  FROM (SELECT {id_col},
+        list_transform({wf}, w -> {md5_long_sql('w')}) AS wh FROM {table})),
 __pairs AS (
   SELECT DISTINCT l.{id_col} AS ida, r.{id_col} AS idb
   FROM __banded l JOIN __banded r

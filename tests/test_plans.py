@@ -80,19 +80,20 @@ def test_dedup_semi_join_prunes_columns(spark):
 
 
 def test_dedup_survivor_selection_streams(spark):
-    """No window operator may buffer whole band buckets, and the banded
-    projection (the expensive signature computation) must be a cached
-    single pass feeding both the bucket-min aggregate and the join
-    probe (HOF lambdas defeat ReuseExchange canonicalization, so the
-    cache IS the reuse mechanism)."""
+    """Survivor selection must be one aggregation chain: no window
+    buffering whole buckets, no self-join of the banded side, and the
+    expensive signature projection scanned exactly once (two scans
+    total in the semi-join plan: the original frame + the banded
+    subtree)."""
     from greatex_spark.operators.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(minhash_lsh_dedup(docs, "text", "doc_id"))
     assert "Window" not in plan
-    # both consumers read the one cached banded relation (explain prints
-    # the InMemoryRelation's child under every scan, so count scans)
-    assert plan.count("InMemoryTableScan") >= 2
+    # "formatted" prints each node once in the tree + once in details
+    assert plan.count("Scan parquet") == 4  # 2 distinct scans × 2 prints
+    # exactly one join: the final left-semi against the survivor ids
+    assert plan.count("Join") <= 4
 
 
 def test_unique_expectation_fuses_into_single_agg(spark):
