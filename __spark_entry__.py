@@ -389,6 +389,16 @@ def _gopher_gate_sql() -> str:
     return "\nUNION ALL ".join(parts)
 
 
+def events_user_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact distinct-count per key (two-phase: dedupe on
+    (key, value) spreads hot keys across reducers, then count) — the
+    salting-side answer to hot-domain skew the north rule requires."""
+    from greatex_spark.operators.skew import salted_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_distinct(ev, "user_id", "event_type", "n_distinct")
+
+
 def elt_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ELT transform chain in one projection (SURVEY.md
     §2.B): conditional value→null replacement (B2,
@@ -870,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_supplier_nation_region": join_supplier_nation_region,
         "events_hourly_rollup": events_hourly_rollup,
         "events_top_users": events_top_users,
+        "events_user_distinct_types": events_user_distinct_types,
         "elt_clean_project": elt_clean_project,
         "suite_orders_schema_gate": suite_orders_schema_gate,
         "suite_documents_gate": suite_documents_gate,
@@ -946,6 +957,10 @@ ranked AS (
   FROM totals)
 SELECT event_type, user_id, CAST(rnk AS INT) AS rnk, total_value
 FROM ranked WHERE rnk <= 3
+""",
+        "events_user_distinct_types": """
+SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events GROUP BY user_id
 """,
         "elt_clean_project": """
 SELECT c_custkey,

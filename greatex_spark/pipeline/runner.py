@@ -119,6 +119,13 @@ def run_pipeline(
     else:
         if source_df is None:
             raise ValueError(f"epoch {epoch} has no committed bronze; source_df required")
+        if config.salted_bronze_layout:
+            # crawl feeds arrive clustered by domain (hot domains →
+            # straggler partitions); salt-spread on hash(url) before the
+            # first commit so every downstream stage starts balanced
+            from greatex_spark.operators.skew import salted_repartition
+
+            source_df = salted_repartition(source_df, "url")
         catalog.write_snapshot(source_df, BRONZE, epoch)
         bronze = catalog.read_snapshot(spark, BRONZE, epoch)
         store_partition_lineage(spark, catalog, bronze, BRONZE, epoch, run_name)

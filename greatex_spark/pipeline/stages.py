@@ -54,6 +54,10 @@ class PipelineConfig:
     arrow_features: bool = True
     # gate: fraction of bronze rows that must survive the keep filter
     keep_fraction_band: tuple[float, float] = (0.25, 0.75)
+    # salt-spread bronze on hash(url) at commit (crawl feeds arrive
+    # clustered by domain; hot domains make straggler partitions) —
+    # costs one extra shuffle at ingest, so opt-in
+    salted_bronze_layout: bool = False
 
 
 def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:

@@ -153,6 +153,45 @@ def test_ivf_topk_recall(spark, sf_dir):
             assert abs(r.score - exact_scores[key]) < 1e-9
 
 
+def test_salted_repartition_balances_hot_domains(spark):
+    from pyspark.sql import functions as F
+
+    from greatex_spark.operators.skew import salted_repartition
+    from greatex_spark.pages import generate_pages
+
+    # fixture plants ~30% of pages on one domain; after salting by
+    # hash(url) no partition may hold more than ~2x the mean
+    pages = generate_pages(spark, 2000, seed=9).localCheckpoint()
+    balanced = salted_repartition(pages, "url", num_partitions=16)
+    sizes = [
+        r.n
+        for r in balanced.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 16
+    assert max(sizes) < 2 * (sum(sizes) / len(sizes))
+
+
+def test_salted_count_distinct_matches_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from greatex_spark.operators.skew import salted_count_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    two_phase = {
+        (r.user_id): r.n_distinct
+        for r in salted_count_distinct(ev, "user_id", "event_type").collect()
+    }
+    exact = {
+        (r.user_id): r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert two_phase == exact
+
+
 def test_embedding_cosine_dedup(spark):
     base = [float(i) for i in range(8)]
     near = [float(i) + (0.001 if i == 0 else 0.0) for i in range(8)]
