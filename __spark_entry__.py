@@ -48,6 +48,7 @@ from greatex_spark.functions.textstats import (
     bpe_token_count,
     detect_lang,
     detect_lang_duckdb_sql,
+    rolling_fingerprint64_duckdb_sql,
     whitespace_token_count,
 )
 from greatex_spark.operators.ann import (
@@ -594,6 +595,16 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_pii(dirty).alias("text_scrubbed"))
 
 
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (polynomial) document fingerprint over the normalized
+    word stream — order-sensitive, exact BIGINT arithmetic in both
+    engines."""
+    from greatex_spark.functions.textstats import rolling_fingerprint64
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint64("text").alias("fp"))
+
+
 def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-style interpolated char-trigram perplexity (the CCNet model
     stage, pandas UDF) — the DuckDB oracle inlines the n-gram count
@@ -890,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": doc_langid,
         "doc_c4_filter": doc_c4_filter,
         "doc_pii_scrub": doc_pii_scrub,
+        "doc_fingerprint": doc_fingerprint,
         "doc_perplexity": doc_perplexity,
         "doc_dup_ngrams": doc_dup_ngrams,
         "doc_exact_dedup": doc_exact_dedup,
@@ -979,6 +991,11 @@ FROM customer WHERE c_acctbal IS NOT NULL
         ),
         "doc_c4_filter": _doc_c4_filter_sql(),
         "doc_pii_scrub": f"SELECT doc_id, {pii_scrubbed} AS text_scrubbed FROM documents",
+        "doc_fingerprint": (
+            "SELECT doc_id, "
+            + rolling_fingerprint64_duckdb_sql("text")
+            + " AS fp FROM documents"
+        ),
         "doc_perplexity": perplexity_duckdb_sql(),
         "doc_dup_ngrams": _doc_dup_ngrams_sql(),
         "doc_exact_dedup": """

@@ -105,6 +105,7 @@ def main() -> None:
 
         from greatex_spark.operators.ann import (  # noqa: PLC0415
             brute_force_topk,
+            brute_force_topk_arrow,
             ivf_topk,
             lsh_topk,
         )
@@ -120,6 +121,10 @@ def main() -> None:
             )
 
         timed("ann_exact_64q", run_exact)
+        timed(
+            "ann_exact_arrow_64q",
+            lambda: brute_force_topk_arrow(ann_q, emb, k=5).count(),
+        )
         recalls: dict[str, float] = {}
         for name, fn in (
             ("ann_lsh_64q", lambda: lsh_topk(ann_q, emb, dim=64, k=5, num_bits=4, num_tables=4)),

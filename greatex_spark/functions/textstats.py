@@ -47,6 +47,51 @@ def fingerprint64(col: Column | str) -> Column:
     return F.xxhash64(normalize_for_fingerprint(col))
 
 
+def rolling_fingerprint64(col: Column | str) -> Column:
+    """True rolling (polynomial) document fingerprint, oracle-replayable:
+    each normalized word is hashed (md5 → 60-bit), then two independent
+    31-bit polynomial states fold over the word stream in order and
+    concatenate to a 62-bit value.  Unlike :func:`fingerprint64` the
+    fold is order-sensitive word-by-word (a rolling hash proper) and
+    every step is exact BIGINT arithmetic in both Spark and DuckDB
+    (:func:`rolling_fingerprint64_duckdb_sql`)."""
+    from greatex_spark.functions.exprs import let
+    from greatex_spark.operators.dedup import MOD31, _POLY_C1, _POLY_C2, md5_long
+
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(normalize_for_fingerprint(c), " ")
+
+    def fold(wh: Column) -> Column:
+        def state(const: int) -> Column:
+            return F.aggregate(
+                wh,
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * F.lit(const) + h % F.lit(MOD31)) % F.lit(MOD31),
+            )
+
+        return state(_POLY_C1) * F.lit(1 << 31).cast("long") + state(_POLY_C2)
+
+    return let(F.transform(words, lambda w: md5_long(w)), fold)
+
+
+def rolling_fingerprint64_duckdb_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`rolling_fingerprint64` — ``list_reduce``
+    folds left-to-right with the first element as the seed, which equals
+    Spark's zero-seeded fold because step(0, m₀) = m₀."""
+    from greatex_spark.operators.dedup import MOD31, _POLY_C1, _POLY_C2, md5_long_sql
+
+    norm = f"trim(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g'))"
+    mods = (
+        f"list_transform(string_split({norm}, ' '), "
+        f"w -> {md5_long_sql('w')} % {MOD31})"
+    )
+
+    def state(const: int) -> str:
+        return f"list_reduce({mods}, (acc, m) -> (acc * {const} + m) % {MOD31})"
+
+    return f"({state(_POLY_C1)} * {1 << 31}::BIGINT + {state(_POLY_C2)})"
+
+
 # ---------------------------------------------------------------------------
 # Heuristic language-ID (stopword-profile scoring).
 #

@@ -273,6 +273,73 @@ def ivf_topk(
     )
 
 
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`brute_force_topk` — the 100 TB hot
+    path for exact search.  The query side (small, broadcastable by
+    contract — same assumption the spec version makes) is collected to
+    a driver matrix and closed over a ``mapInPandas`` stage; every
+    corpus Arrow batch scores ALL queries with one float64 matmul and
+    emits only its per-query top-(k+1) leaders, so the exchange carries
+    ``partitions × queries × (k+1)`` candidate rows instead of
+    ``corpus × queries`` pairs; a final per-query window merges batch
+    leaders.  Same rounding and tie-break as the spec; parity-tested
+    (``tests/test_operators.py``)."""
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(qm, axis=1)
+    q_zero = q_norm == 0.0
+    qn = qm / np.where(q_zero, 1.0, q_norm)[:, None]
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            c_norm = np.linalg.norm(cm, axis=1)
+            c_zero = c_norm == 0.0
+            cn = cm / np.where(c_zero, 1.0, c_norm)[:, None]
+            scores = cn @ qn.T  # (batch, queries)
+            scores[c_zero, :] = 0.0  # spec: cosine=0 when a norm is 0
+            scores[:, q_zero] = 0.0
+            kk = min(k + 1, len(ids))  # +1 survives self-match removal
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            n_q = scores.shape[1]
+            out_q = np.repeat(q_ids, kk)
+            out_n = ids[top.T.reshape(-1)]
+            out_s = scores[top.T.reshape(-1), np.repeat(np.arange(n_q), kk)]
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "score": np.round(out_s, score_decimals),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins: the projection matrix is a seeded literal, so the
 # bucket assignment (and therefore the full approximate result) replays

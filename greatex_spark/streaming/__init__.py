@@ -13,3 +13,4 @@ from greatex_spark.streaming.ingest import (  # noqa: F401
     gated_ingest,
     windowed_page_counts,
 )
+from greatex_spark.streaming.stateful import running_lang_stats  # noqa: F401

@@ -71,6 +71,55 @@ def test_gated_ingest_quarantines_bad_batch(spark, tmp_path):
     assert any(not m["successful_outcome"] for m in metrics)
 
 
+def test_running_lang_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps cumulative per-lang totals across
+    micro-batches: with one file per trigger, the final emission per
+    lang must equal the whole-corpus totals."""
+    from greatex_spark.streaming import running_lang_stats
+    from greatex_spark.sources.files import PAGE_SCHEMA
+
+    landing = str(tmp_path / "landing")
+    pages = generate_pages(spark, 80, seed=7)
+    _land(pages.where(F.col("url").endswith("0")), landing)
+    _land(pages.where(~F.col("url").endswith("0")), landing)
+
+    stream = (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    emissions: list = []
+
+    def capture(batch_df, batch_id):
+        emissions.append((batch_id, {r.lang: (r.n_pages, r.n_chars) for r in batch_df.collect()}))
+
+    (
+        running_lang_stats(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert len(emissions) >= 2  # one per file
+    # fold emissions in batch order: the LAST emission per lang is the
+    # cumulative total, which must match the batch ground truth
+    final: dict = {}
+    for _, batch in sorted(emissions):
+        final.update(batch)
+    truth = {
+        r.lang: (r.n, r.c)
+        for r in pages.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("c"),
+        )
+        .collect()
+    }
+    assert final == truth
+
+
 def test_windowed_page_counts_batch_parity(spark):
     pages = generate_pages(spark, 500, seed=5)
     out = windowed_page_counts(pages).agg(

@@ -79,11 +79,16 @@ def run_level(bronze_path: str, cores: int, n_pages: int) -> dict:
             if line.startswith("RESULT "):
                 times = json.loads(line[len("RESULT "):])
                 med = statistics.median(times)
+                best = min(times)
                 return {
                     "cores": cores,
                     "times_sec": [round(t, 2) for t in times],
                     "median_sec": round(med, 2),
-                    "docs_per_sec": round(n_pages / med, 1),
+                    # min-of-runs = the steady-state estimator, robust to
+                    # the shared host's ~30% capacity bursts (same
+                    # estimator as tools/bench_cluster_scaling)
+                    "min_sec": round(best, 2),
+                    "docs_per_sec": round(n_pages / best, 1),
                 }
         raise RuntimeError(f"worker[{cores}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
@@ -109,7 +114,7 @@ def main() -> None:
     from tools.bench_cluster_scaling import hardware_cpu_scaling
 
     hw = hardware_cpu_scaling()
-    speedup = low["median_sec"] / high["median_sec"]
+    speedup = low["min_sec"] / high["min_sec"]
     eff = speedup / 4.0
     result = {
         "job": "end-to-end pages pipeline (featurize + keep/drop + scrub + MinHash dedup)",
