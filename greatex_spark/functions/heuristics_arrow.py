@@ -75,28 +75,48 @@ def _features_one(text: str | None) -> tuple:
     nw = len(words) or 1
     lines = text.split("\n")
     nl = len(lines) or 1
-    dup = []
-    for n in (2, 3):
-        total = len(words) - n + 1
-        if total > 0:
-            grams = {tuple(words[i : i + n]) for i in range(total)}
-            dup.append(float(total - len(grams)) / total)
-        else:
-            dup.append(0.0)
+    # duplicate-n-gram fractions via zip views (identical sets to the
+    # slice-tuple construction, far fewer allocations)
+    n2 = len(words) - 1
+    dup2 = float(n2 - len(set(zip(words, words[1:])))) / n2 if n2 > 0 else 0.0
+    n3 = len(words) - 2
+    dup3 = (
+        float(n3 - len(set(zip(words, words[1:], words[2:])))) / n3 if n3 > 0 else 0.0
+    )
+    # one pass over words for length / stopword / alpha accumulators
+    word_chars = 0
+    stop_count = 0
+    alpha_count = 0
+    alpha_search = _ALPHA.search
+    for w in words:
+        word_chars += len(w)
+        if w.lower() in _STOP:
+            stop_count += 1
+        if alpha_search(w):
+            alpha_count += 1
+    # one strip per line, both line rules on the stripped value
+    bullet_count = 0
+    ellipsis_count = 0
+    for ln in lines:
+        sln = ln.strip(_SPARK_TRIM)
+        if _BULLET.search(sln):
+            bullet_count += 1
+        if _ELLIPSIS.search(sln):
+            ellipsis_count += 1
     lower = text.lower()
     trimmed = text.strip(_SPARK_TRIM)
     return (
         len(text),
         len(words),
         len(lines),
-        float(sum(len(w) for w in words)) / nw,
+        float(word_chars) / nw,
         float(len(_SYMBOL.findall(text))) / nw,
-        sum(1 for w in words if w.lower() in _STOP),
-        float(sum(1 for w in words if _ALPHA.search(w))) / nw,
-        float(sum(1 for ln in lines if _BULLET.search(ln.strip(_SPARK_TRIM)))) / nl,
-        float(sum(1 for ln in lines if _ELLIPSIS.search(ln.strip(_SPARK_TRIM)))) / nl,
-        dup[0],
-        dup[1],
+        stop_count,
+        float(alpha_count) / nw,
+        float(bullet_count) / nl,
+        float(ellipsis_count) / nl,
+        dup2,
+        dup3,
         bool(_TERMINAL.search(trimmed)),
         "{" in text,
         "lorem ipsum" in lower,

@@ -55,29 +55,47 @@ def _train(corpus: str):
 _UNI, _BI, _TRI, _TOTAL = _train(" ".join(SEED_TEXT[lang] for lang in ("en",)))
 
 
+def _log_term(tr: str) -> float:
+    """log P(c₂ | c₀c₁) for one trigram — the per-position term of the
+    scorer, factored out so it can be memoized (web text repeats
+    trigrams heavily; the cache turns the hot loop into one dict get
+    per position with bit-identical values)."""
+    c, b, bp = tr[2], tr[1:], tr[:2]
+    p3 = _TRI[tr] / _BI[bp] if _BI[bp] else 0.0
+    p2 = _BI[b] / _UNI[tr[1]] if _UNI[tr[1]] else 0.0
+    p1 = _UNI[c] / _TOTAL if _TOTAL else 0.0
+    return math.log(
+        LAMBDAS[0] * p3 + LAMBDAS[1] * p2 + LAMBDAS[2] * p1 + LAMBDAS[3] / VOCAB_SIZE
+    )
+
+
+_TERM_CACHE: dict[str, float] = {}
+_TERM_CACHE_MAX = 1 << 20  # bound memory on adversarial alphabets
+
+
 def log_perplexity_py(text: str | None, max_chars: int = MAX_SCORED_CHARS) -> float | None:
-    """Standalone reference scorer (identical to the UDF's inner loop)."""
+    """Standalone reference scorer (identical to the UDF's inner loop).
+
+    The summation is the same sequential left-to-right IEEE fold as the
+    DuckDB oracle's ``list_reduce``; memoization changes only how each
+    (deterministic) term is produced, never its value or position."""
     if text is None:
         return None
     t = str(text).lower()[:max_chars]
     if len(t) < 3:
         return None
     s = f"  {t}"
+    cache = _TERM_CACHE
     logp = 0.0
-    n = 0
-    for i in range(2, len(s)):
-        c, b, tr = s[i], s[i - 1 : i + 1], s[i - 2 : i + 1]
-        p3 = _TRI[tr] / _BI[s[i - 2 : i]] if _BI[s[i - 2 : i]] else 0.0
-        p2 = _BI[b] / _UNI[s[i - 1]] if _UNI[s[i - 1]] else 0.0
-        p1 = _UNI[c] / _TOTAL if _TOTAL else 0.0
-        p = (
-            LAMBDAS[0] * p3
-            + LAMBDAS[1] * p2
-            + LAMBDAS[2] * p1
-            + LAMBDAS[3] / VOCAB_SIZE
-        )
-        logp += math.log(p)
-        n += 1
+    n = len(s) - 2
+    for i in range(n):
+        tr = s[i : i + 3]
+        v = cache.get(tr)
+        if v is None:
+            v = _log_term(tr)
+            if len(cache) < _TERM_CACHE_MAX:
+                cache[tr] = v
+        logp += v
     return round(-logp / n, 6) if n else None
 
 
