@@ -296,15 +296,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     score_decimals: int = 6,
     seed: int = 7,
+    train_sample: int = 4096,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     over the corpus, candidates restricted to each query's ``nprobe``
     nearest cells, exact cosine re-rank inside the probed cells.
 
-    The scale path for ANN at 10^12 rows: the corpus is scanned once to
-    assign cells (one narrow shuffle by cell id), each query joins only
-    ``nprobe/nlist`` of the corpus, and the centroid table (nlist × dim
-    floats) is broadcast.  KMeans is seeded → assignments deterministic.
+    The scale path for ANN at 10^12 rows: the quantizer trains on a
+    deterministic ``train_sample``-row subset (FAISS-style — training
+    the coarse quantizer on the full corpus buys nothing; at 10^12 rows
+    it would be ``max_iter`` extra full scans), then the corpus is
+    scanned once to assign cells (one narrow shuffle by cell id), each
+    query joins only ``nprobe/nlist`` of the corpus, and the centroid
+    table (nlist × dim floats) is broadcast.  KMeans is seeded and the
+    sample is keyed on the id hash → assignments deterministic.
 
     Recall < 1.0 by construction; measure against
     :func:`brute_force_topk` (see tests)."""
@@ -316,8 +322,19 @@ def ivf_topk(
         F.col(vec_col).alias("__cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
     )
-    km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
-    model = km.fit(corpus_v)
+    n = corpus_v.count()
+    train = corpus_v
+    if n > train_sample:
+        # deterministic hash-sample, independent of partitioning
+        keep_mod = max(n // train_sample, 1)
+        train = corpus_v.where(
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(keep_mod)) == 0
+        )
+    km = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="__feat",
+        predictionCol="__cell",
+    )
+    model = km.fit(train)
     assigned = model.transform(corpus_v).select("neighbor_id", "__cv", "__cell")
 
     # centroid list is tiny: ship it as literal arrays and rank cells
