@@ -3,10 +3,10 @@
 ``entry(spark)`` — flagship end-to-end quality-filter query at sf0.001.
 ``queries()``   — one callable per implemented operator (SURVEY.md §2).
 ``oracle_sql()`` — equivalent DuckDB SQL per query where the operator is
-SQL-expressible; omitted only for the KMeans-based IVF quantizer, the
+SQL-expressible; omitted only for the KMeans-based IVF quantizer and the
 synthetic-page pipeline entries (their input is generated, not one of
-the oracle's registered views), and binary multimodal features — the
-driver records those as rows-only checks.
+the oracle's registered views) — the driver records those as rows-only
+checks.
 
 Determinism contracts used throughout so Spark and DuckDB hash-match:
 
@@ -1019,8 +1019,21 @@ SELECT label, count(*) AS n,
   max(CAST(embedding[1] AS DOUBLE)) AS max_first
 FROM embeddings GROUP BY label
 """,
+        # the fake decoder is a sha256 fold of the payload bytes, so even
+        # the multimodal plumbing replays in SQL (payload = utf8(text),
+        # feature_j = LE-uint16 of digest bytes / 65535 rounded 6)
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+  CASE WHEN text IS NULL THEN NULL ELSE CAST(16 AS INT) END AS dim,
+  round((('0x' || substr(h, 1, 2))::BIGINT
+         + 256 * ('0x' || substr(h, 3, 2))::BIGINT) / 65535.0, 6) AS f0
+FROM (
+  SELECT doc_id, text,
+    sha256(text || (['image', 'audio', 'video'])[(doc_id % 3) + 1]) AS h
+  FROM documents WHERE doc_id < 100)
+""",
         # omitted (rows-only by design): ann_ivf_topk (KMeans quantizer —
         # not SQL-expressible), pipeline_pages_gold / pipeline_lineage_metrics
-        # (generated input, not one of the oracle's registered views),
-        # multimodal_features (binary payloads + digest features).
+        # (generated input, not one of the oracle's registered views).
     }
