@@ -323,15 +323,23 @@ def compile_suite(df: DataFrame, suite: Suite) -> tuple[list[Column], dict[int, 
             # duplicates = count(col) − count_distinct(col).  (GE counts
             # every member of a duplicate group; the excess count is 0
             # exactly when GE's is 0, so gate outcomes at mostly=1.0 are
-            # identical — documented engine semantics, chosen so the
-            # suite needs NO auxiliary groupBy shuffle.  approx=True →
-            # HLL partials for huge tables.)
+            # identical.  At mostly<1.0 the unexpected% is LOWER than
+            # GE's — roughly halved when duplicates come in pairs — so a
+            # sub-1.0 mostly gate can pass here where GE would fail.
+            # Documented engine semantics (README "Divergences from
+            # Great Expectations"), chosen so the suite needs NO
+            # auxiliary groupBy shuffle.  approx=True → HLL partials for
+            # huge tables; the greatest(0, ·) clamp guards the HLL
+            # overestimate case, where count−approx_distinct can go
+            # negative and a negative percent would silently pass.)
             agg_fn = (
                 F.approx_count_distinct if k.get("approx") else F.count_distinct
             )
             col = F.col(k["column"])
             metrics.append(
-                (F.count(col) - agg_fn(col)).cast("long").alias(f"e{i}_unexpected")
+                F.greatest(F.count(col) - agg_fn(col), F.lit(0))
+                .cast("long")
+                .alias(f"e{i}_unexpected")
             )
             plan[i] = {"kind": "unique_fused", "metric": f"e{i}_unexpected"}
         elif exp.is_row_level:

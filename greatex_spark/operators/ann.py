@@ -274,10 +274,12 @@ def lsh_topk_arrow(
     num_tables: int = 1,
     seed: int = 7,
 ) -> DataFrame:
-    """:func:`lsh_topk` with the candidate rerank through
-    :func:`cosine_arrow` — identical (native, oracle-grade) bucketing,
-    vectorized scoring.  The hot path for embedding-scale corpora;
-    parity-tested against the Column spec."""
+    """:func:`lsh_topk` with Arrow twins on BOTH stages: bucketing via
+    :func:`bucket_col_arrow` (one numpy matmul per batch — equals the
+    native fold except for ≤1-ulp projection differences at an exact
+    sign boundary) and candidate rerank via :func:`cosine_arrow`.
+    The hot path for embedding-scale corpora; parity-tested against the
+    Column spec."""
     scored = _lsh_scored(
         queries, corpus, dim, num_bits, id_col, vec_col,
         score_decimals, multiprobe, num_tables, seed, cosine_arrow,

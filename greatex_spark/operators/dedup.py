@@ -157,8 +157,11 @@ def shingle_hashes(text: Column | str, k: int = 5, family: str = "xxhash64") -> 
     interpreted HOF pass GC-light, which is what lets the stage scale
     with cores).
 
-    ``md5``: :func:`md5_long` of each shingle *string* — strings ARE
-    materialized (spec path; replayable in DuckDB)."""
+    ``md5``: also numeric — each word is hashed once with
+    :func:`md5_long` and shingle hashes compose via
+    :func:`_compose_hash` (two 31-bit polynomial states → 62 bits);
+    no shingle strings are materialized in this family either.  The
+    DuckDB oracle replays the identical composition (spec path)."""
     c = F.col(text) if isinstance(text, str) else text
     from greatex_spark.functions.exprs import let
 

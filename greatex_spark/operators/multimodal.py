@@ -159,15 +159,15 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             raise NotImplementedError("frame sampling requires ffmpeg; see extract_features")
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video" or r["payload"] is None or r["meta"] is None:
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video" or r.payload is None or r.meta is None:
                     continue
-                dur = int(r["meta"]["duration_ms"] or 0)
+                dur = int(r.meta["duration_ms"] or 0)
                 for i, ts in enumerate(range(0, dur, every_ms)):
                     frame = hashlib.sha256(
-                        bytes(r["payload"]) + ts.to_bytes(8, "little")
+                        bytes(r.payload) + ts.to_bytes(8, "little")
                     ).digest()
-                    rows.append((int(r["media_id"]), i, ts, frame))
+                    rows.append((int(r.media_id), i, ts, frame))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
             ).astype({"frame_idx": "int32", "ts_ms": "int32"})

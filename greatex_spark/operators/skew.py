@@ -33,16 +33,30 @@ def salted_repartition(
     key_col: str = "url",
     num_partitions: int | None = None,
     salt_buckets: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
-    """Repartition by ``(xxhash64(key), salt)`` so rows of a hot key
-    family spread over ``salt_buckets`` partitions instead of one.
+    """Deterministic hash repartition on ``key_col``, optionally salted
+    by a row-distinguishing second column.
 
-    The salt is a deterministic function of the full row position hash,
-    not a random number — layouts are reproducible.  Use before wide
-    writes or per-key stages when the key's *prefix* (domain) is hot
-    even though full keys are unique."""
-    salt = F.pmod(F.xxhash64(F.col(key_col), F.lit(0x5A17)), F.lit(salt_buckets))
-    parts = [F.xxhash64(F.col(key_col)), salt]
+    Two honest modes (a salt derived from the key alone spreads NOTHING
+    beyond plain key hashing — all copies of a duplicated hot key would
+    still share one hash):
+
+    - ``salt_col=None`` (default): plain ``repartition(xxhash64(key))``.
+      Correct when full keys are unique but cluster under a hot *prefix*
+      (crawl feeds arriving grouped by domain: distinct urls hash apart,
+      so the layout balances) — this is the pipeline's bronze-ingest
+      case.
+    - ``salt_col='warc_ts'`` (any row-dependent column): partition by
+      ``(xxhash64(key), pmod(xxhash64(salt_col), salt_buckets))`` so the
+      rows of a *repeated* hot key spread over up to ``salt_buckets``
+      partitions.  Deterministic given the data (no ``rand()``), so
+      layouts are reproducible across runs and cluster sizes."""
+    parts = [F.xxhash64(F.col(key_col))]
+    if salt_col is not None:
+        parts.append(
+            F.pmod(F.xxhash64(F.col(salt_col), F.lit(0x5A17)), F.lit(salt_buckets))
+        )
     if num_partitions:
         return df.repartition(num_partitions, *parts)
     return df.repartition(*parts)
@@ -65,11 +79,14 @@ def salted_count_distinct(
 
     Equivalent to ``groupBy(key).agg(count_distinct(value))`` (which
     plans a single expand + one reducer per key) — same result, bounded
-    per-task load."""
+    per-task load.  Keys whose values are ALL null still appear with
+    count 0 (count_distinct ignores nulls but groupBy emits the key):
+    nulls count as one value in phase 1, and phase 2 subtracts the null
+    group per key — no extra pass over the raw data."""
+    null_flag = F.col(value_col).isNull().cast("long")
     return (
         df.select(key_col, value_col)
-        .where(F.col(value_col).isNotNull())  # count_distinct ignores nulls
         .dropDuplicates([key_col, value_col])
         .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias(out_col))
+        .agg((F.count(F.lit(1)) - F.sum(null_flag)).cast("long").alias(out_col))
     )

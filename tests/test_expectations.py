@@ -160,6 +160,21 @@ def test_values_to_be_unique_fails(spark):
     assert not vr.success
 
 
+def test_values_to_be_unique_approx_never_negative(spark):
+    """With approx=True an HLL overestimate could make
+    count − approx_count_distinct negative; the clamp must keep the
+    unexpected count (and percent) at ≥ 0 so nothing silently passes
+    with a negative percent."""
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5000)], "s string")
+    vr = run_suite(
+        df,
+        Suite.of("u", E("expect_column_values_to_be_unique", column="s", approx=True)),
+    )
+    r = vr.results[0].result
+    assert r["unexpected_count"] >= 0
+    assert r["unexpected_percent"] >= 0.0
+
+
 def test_empty_dataframe(spark):
     df = spark.createDataFrame([], "x int")
     suite = Suite.of(

@@ -224,6 +224,49 @@ def test_salted_count_distinct_matches_exact(spark, sf_dir):
     assert two_phase == exact
 
 
+def test_salted_count_distinct_all_null_key_emits_zero(spark):
+    """A key whose values are ALL null must appear with count 0, exactly
+    like groupBy(key).agg(count_distinct(value)) and the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from greatex_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None), ("b", None), ("c", "x"), ("c", "y")],
+        "k string, v string",
+    )
+    got = {r.k: r.n_distinct for r in salted_count_distinct(df, "k", "v").collect()}
+    exact = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert got == exact == {"a": 1, "b": 0, "c": 2}
+
+
+def test_salted_repartition_salt_col_spreads_repeated_hot_key(spark):
+    """With a row-dependent salt column, copies of one duplicated hot key
+    spread over multiple partitions (plain key hashing pins them to one)."""
+    from pyspark.sql import functions as F
+
+    from greatex_spark.operators.skew import salted_repartition
+
+    hot = spark.range(0, 1000).select(
+        F.lit("https://hot.example.com/").alias("url"), F.col("id").alias("row_id")
+    )
+    plain = salted_repartition(hot, "url", num_partitions=8)
+    salted = salted_repartition(hot, "url", num_partitions=8, salt_col="row_id")
+
+    def n_nonempty(df):
+        return (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    assert n_nonempty(plain) == 1  # documented: key-only hash cannot spread
+    assert n_nonempty(salted) >= 4
+
+
 def test_embedding_cosine_dedup(spark):
     base = [float(i) for i in range(8)]
     near = [float(i) + (0.001 if i == 0 else 0.0) for i in range(8)]
