@@ -2,11 +2,10 @@
 
 ``entry(spark)`` — flagship end-to-end quality-filter query at sf0.001.
 ``queries()``   — one callable per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — equivalent DuckDB SQL per query where the operator is
-SQL-expressible; omitted only for the KMeans-based IVF quantizer and the
-synthetic-page pipeline entries (their input is generated, not one of
-the oracle's registered views) — the driver records those as rows-only
-checks.
+``oracle_sql()`` — equivalent DuckDB SQL per query; every entry has one
+(the IVF quantizer replays via a deterministic numpy Lloyd's retrained
+from the same parquet, and the pipeline entries replay from a committed
+bronze fixture parquet the SQL reads directly).
 
 Determinism contracts used throughout so Spark and DuckDB hash-match:
 
@@ -746,9 +745,11 @@ FROM ranked WHERE rank <= 5
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (seeded k-means coarse quantizer, nprobe
-    cells, exact rerank) — the clustered scale path; approximate by
-    construction, rows-only."""
+    """IVF approximate top-k: deterministic hash-sampled numpy-Lloyd's
+    coarse quantizer (no RNG, no eager corpus count), literal-centroid
+    cell assignment, nprobe cells, exact rerank.  Fully oracle-replayed:
+    the DuckDB twin retrains the identical quantizer from the same
+    parquet and inlines the same centroids."""
     from greatex_spark.operators.ann import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -847,6 +848,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", F.size("features").alias("dim"),
         F.element_at("features", 1).alias("f0"),
     )
+
+
+def _ann_ivf_oracle() -> dict[str, str]:
+    """DuckDB twin of :func:`ann_ivf_topk` — the oracle harness runs at
+    sf0.01 (driver contract), so the quantizer retrains on that parquet
+    with the identical hash sample + deterministic Lloyd's and the
+    centroids inline as literals.  If the fixture is unavailable the
+    entry is omitted and the driver falls back to the rows-only check."""
+    from greatex_spark.operators.ann import (
+        ivf_centroids_from_parquet,
+        ivf_topk_duckdb_sql,
+    )
+
+    try:
+        cents = ivf_centroids_from_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet", nlist=8
+        )
+    except Exception:
+        return {}
+    return {"ann_ivf_topk": ivf_topk_duckdb_sql("vec_id < 8", cents, nprobe=4)}
 
 
 # ---------------------------------------------------------------------------
@@ -1019,6 +1040,7 @@ SELECT label, count(*) AS n,
   max(CAST(embedding[1] AS DOUBLE)) AS max_first
 FROM embeddings GROUP BY label
 """,
+        **_ann_ivf_oracle(),
         # the fake decoder is a sha256 fold of the payload bytes, so even
         # the multimodal plumbing replays in SQL (payload = utf8(text),
         # feature_j = LE-uint16 of digest bytes / 65535 rounded 6)
@@ -1033,7 +1055,7 @@ FROM (
     sha256(text || (['image', 'audio', 'video'])[(doc_id % 3) + 1]) AS h
   FROM documents WHERE doc_id < 100)
 """,
-        # omitted (rows-only by design): ann_ivf_topk (KMeans quantizer —
-        # not SQL-expressible), pipeline_pages_gold / pipeline_lineage_metrics
-        # (generated input, not one of the oracle's registered views).
+        # omitted (rows-only by design): pipeline_lineage_metrics (the
+        # metrics rows carry run-scoped identifiers; the gold DATA path is
+        # oracle-checked via pipeline_pages_gold instead).
     }

@@ -288,6 +288,87 @@ def lsh_topk_arrow(
     return _topk_of_scored(scored, k)
 
 
+def train_centroids(
+    points: np.ndarray, nlist: int, max_iter: int = 10
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over a (bounded) training sample —
+    the coarse quantizer of the IVF index, run driver-side in numpy
+    (the sample is ≤ ``train_sample`` rows by construction, so this is
+    O(sample × nlist × dim) on the driver, never a cluster job).
+
+    Fully deterministic, no RNG: initial centroids are the first
+    ``nlist`` sample rows (the sample arrives in hash order, i.e.
+    pseudo-random), assignment ties break to the lowest cell index
+    (``np.argmin``), and an emptied cell keeps its previous centroid.
+    Returned centroids are rounded to 9 decimals so they embed as
+    identical literals in Spark plans and DuckDB SQL."""
+    pts = np.asarray(points, dtype=np.float64)
+    nlist_eff = min(nlist, len(pts))
+    cents = pts[:nlist_eff].copy()
+    for _ in range(max_iter):
+        # squared L2 to each centroid; argmin ties → lowest cell
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for c in range(nlist_eff):
+            members = pts[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return [[float(v) for v in row] for row in cents.round(9)]
+
+
+def _hash_sample(
+    df: DataFrame, id_col: str, vec_col: str, train_sample: int
+) -> DataFrame:
+    """The ``train_sample`` rows with the smallest ``md5_long(id)`` —
+    a deterministic pseudo-random sample computed in ONE pass with
+    per-partition top-K heaps (TakeOrderedAndProject), no prior
+    ``count()`` over the corpus and no full sort.  md5 (not xxhash64)
+    keys the order so the oracle can replay the exact sample with
+    ``hashlib`` over the same parquet."""
+    from greatex_spark.operators.dedup import md5_long
+
+    return (
+        df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv"))
+        .orderBy(md5_long(F.col("__sid").cast("string")), F.col("__sid"))
+        .limit(train_sample)
+    )
+
+
+def sample_hash_py(vec_id) -> int:
+    """Python twin of the sample ordering key (``md5_long`` of the id
+    rendered as a string — Spark's cast long→string→binary is the utf-8
+    bytes of the decimal rendering)."""
+    import hashlib
+
+    return int(hashlib.md5(str(int(vec_id)).encode()).hexdigest()[:15], 16)
+
+
+def _cell_structs(vec: Column, centroids: list[list[float]]) -> Column:
+    """Sorted array of (squared-L2-distance, cell-index) structs from
+    ``vec`` to every centroid — sequential IEEE fold per distance, so
+    the DuckDB twin computes bit-identical values."""
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -297,77 +378,50 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int = 6,
-    seed: int = 7,
     train_sample: int = 4096,
     max_iter: int = 10,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
-    over the corpus, candidates restricted to each query's ``nprobe``
-    nearest cells, exact cosine re-rank inside the probed cells.
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer
+    over a corpus sample, candidates restricted to each query's
+    ``nprobe`` nearest cells, exact cosine re-rank inside the probed
+    cells.
 
     The scale path for ANN at 10^12 rows: the quantizer trains on a
-    deterministic ``train_sample``-row subset (FAISS-style — training
-    the coarse quantizer on the full corpus buys nothing; at 10^12 rows
-    it would be ``max_iter`` extra full scans), then the corpus is
-    scanned once to assign cells (one narrow shuffle by cell id), each
-    query joins only ``nprobe/nlist`` of the corpus, and the centroid
-    table (nlist × dim floats) is broadcast.  KMeans is seeded and the
-    sample is keyed on the id hash → assignments deterministic.
+    deterministic ``train_sample``-row hash-sample (FAISS-style —
+    training on the full corpus buys nothing and would cost
+    ``max_iter`` full scans).  The sample is a one-pass per-partition
+    top-K by ``md5_long(id)`` — bounded driver memory
+    (``train_sample × dim`` doubles), NO prior ``count()`` job, and if
+    the corpus is smaller than the sample size the quantizer simply
+    trains on all of it (nlist collapses to the row count).  Lloyd's
+    runs driver-side in numpy (:func:`train_centroids`, deterministic,
+    seedless); the resulting centroid table (nlist × dim floats) is
+    inlined as literal arrays, so cell assignment is a pure expression
+    — no ML model on the hot path, and the whole index replays in
+    DuckDB (:func:`ivf_topk_duckdb_sql`).  The corpus is scanned once
+    to assign cells; each query joins only ~``nprobe/nlist`` of it.
+
+    Pass precomputed ``centroids`` to skip training (e.g. the bench
+    reuses one quantizer across variants).
 
     Recall < 1.0 by construction; measure against
-    :func:`brute_force_topk` (see tests)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    :func:`brute_force_topk` (see tests/bench)."""
+    if centroids is None:
+        rows = _hash_sample(corpus, id_col, vec_col, train_sample).collect()
+        pts = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        centroids = train_centroids(pts, nlist, max_iter)
 
     corpus_v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    n = corpus_v.count()
-    train = corpus_v
-    if n > train_sample:
-        # deterministic hash-sample, independent of partitioning
-        keep_mod = max(n // train_sample, 1)
-        train = corpus_v.where(
-            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(keep_mod)) == 0
-        )
-    km = KMeans(
-        k=nlist, seed=seed, maxIter=max_iter, featuresCol="__feat",
-        predictionCol="__cell",
-    )
-    model = km.fit(train)
-    assigned = model.transform(corpus_v).select("neighbor_id", "__cv", "__cell")
-
-    # centroid list is tiny: ship it as literal arrays and rank cells
-    # per query with one let-bound expression (no ML model on the hot path)
-    centroids = [
-        [float(x) for x in np.asarray(c).round(9)] for c in model.clusterCenters()
-    ]
-    cent_arr = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-    )
-    qv = F.col("__qv")
-    # negative squared L2 distance to each centroid; top-nprobe cell ids
-    dists = F.transform(
-        cent_arr,
-        lambda c: F.aggregate(
-            F.zip_with(qv, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
+    assigned = corpus_v.select(
+        "neighbor_id",
+        "__cv",
+        F.element_at(_cell_structs(F.col("__cv"), centroids), 1)["i"].alias("__cell"),
     )
     probe_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    dists,
-                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s["i"],
-        ),
+        F.transform(_cell_structs(F.col("__qv"), centroids), lambda s: s["i"]),
         1,
         nprobe,
     )
@@ -383,14 +437,7 @@ def ivf_topk(
             F.round(cosine(F.col("__qv"), F.col("__cv")), score_decimals).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return _topk_of_scored(scored, k)
 
 
 def cosine_arrow(a: Column, b: Column) -> Column:
@@ -558,6 +605,96 @@ probes AS (
 scored AS (
   SELECT pr.query_id, c.{id_col} AS neighbor_id, round({cos}, 6) AS score
   FROM probes pr JOIN cb c ON pr.bucket = c.bucket AND c.{id_col} != pr.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
+           AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_centroids_from_parquet(
+    path: str,
+    nlist: int = 16,
+    train_sample: int = 4096,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Replay the IVF quantizer training outside Spark: the same
+    ``train_sample`` smallest-``md5_long(id)`` rows (DuckDB computes the
+    identical 60-bit hash), the same deterministic numpy Lloyd's —
+    centroids equal :func:`ivf_topk`'s bit-for-bit, so they embed as
+    oracle SQL literals."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {vec_col} FROM read_parquet('{path}') "
+        f"ORDER BY ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT, "
+        f"{id_col} LIMIT {train_sample}"
+    ).fetchall()
+    con.close()
+    pts = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return train_centroids(pts, nlist, max_iter)
+
+
+def _centroids_sql(centroids: list[list[float]]) -> str:
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in centroids
+    ) + "]"
+
+
+def _cell_structs_sql(vec: str, dim: int, nlist: int, cents_ref: str) -> str:
+    """DuckDB twin of :func:`_cell_structs`: sorted list of
+    {d: squared-L2, i: cell} structs — ``list_reduce`` folds left-to-
+    right from the first element, which equals Spark's 0.0-seeded fold
+    (0.0 + x = x exactly), and struct sort is lexicographic (d, then i)
+    in both engines."""
+    diff = f"(CAST({vec}[i] AS DOUBLE) - {cents_ref}[j][i])"
+    d2 = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> {diff} * {diff}), "
+        f"(a, b) -> a + b)"
+    )
+    return (
+        f"list_sort(list_transform(range(1, {nlist + 1}), "
+        f"j -> {{'d': {d2}, 'i': CAST(j - 1 AS BIGINT)}}))"
+    )
+
+
+def ivf_topk_duckdb_sql(
+    query_filter: str,
+    centroids: list[list[float]],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    nprobe: int = 4,
+) -> str:
+    """Oracle for :func:`ivf_topk`: assignment = argmin cell over the
+    literal centroid table, probes = the query's ``nprobe`` nearest
+    cells, exact cosine re-rank — every float computed in the same IEEE
+    order as the Spark expressions."""
+    nlist = len(centroids)
+    cell_sorted_c = _cell_structs_sql(f"c.{vec_col}", dim, nlist, "cs")
+    cell_sorted_q = _cell_structs_sql(vec_col, dim, nlist, "cs")
+    cos = _seq_cosine_sql("pr.qemb", f"a.{vec_col}", dim)
+    return f"""
+WITH cents AS (SELECT {_centroids_sql(centroids)} AS cs),
+assigned AS (
+  SELECT c.{id_col} AS neighbor_id, c.{vec_col},
+         ({cell_sorted_c})[1].i AS cell
+  FROM {table} c, cents),
+probes AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qemb,
+         unnest(list_transform(({cell_sorted_q})[1:{nprobe}], s -> s.i)) AS cell
+  FROM {table}, cents WHERE {query_filter}),
+scored AS (
+  SELECT pr.query_id, a.neighbor_id, round({cos}, 6) AS score
+  FROM probes pr JOIN assigned a ON pr.cell = a.cell AND a.neighbor_id != pr.query_id),
 ranked AS (
   SELECT query_id, neighbor_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
