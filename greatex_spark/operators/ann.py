@@ -714,17 +714,25 @@ def embedding_cosine_dedup_duckdb_sql(
     threshold: float = 0.98,
     num_bits: int = 8,
     seed: int = 7,
+    candidate_cap: int | None = 64,
 ) -> str:
-    """Oracle for :func:`embedding_cosine_dedup`."""
+    """Oracle for :func:`embedding_cosine_dedup` (same bounded bucket
+    representatives)."""
+    from greatex_spark.operators.dedup import _reps_cte_sql
+
     terms = _bucket_terms_sql(vec_col, dim, num_bits, "p")
     cos = _seq_cosine_sql(f"l.{vec_col}", f"r.{vec_col}", dim)
     return f"""
 WITH planes AS (SELECT {_planes_sql(dim, num_bits, seed)} AS p),
 cb AS (
   SELECT {id_col}, {vec_col}, ({terms}) AS bucket FROM {table}, planes),
+reps AS ({_reps_cte_sql('cb', 'bucket', id_col, candidate_cap)}),
+rvec AS (
+  SELECT rp.bucket, rp.rid, c.{vec_col}
+  FROM reps rp JOIN cb c ON c.{id_col} = rp.rid),
 dropped AS (
   SELECT DISTINCT l.{id_col} AS did
-  FROM cb l JOIN cb r ON l.bucket = r.bucket AND l.{id_col} > r.{id_col}
+  FROM cb l JOIN rvec r ON l.bucket = r.bucket AND l.{id_col} > r.rid
   WHERE {cos} >= {threshold})
 SELECT {select_cols} FROM {table} t
 WHERE t.{id_col} NOT IN (SELECT did FROM dropped)
@@ -738,23 +746,30 @@ def embedding_cosine_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.98,
     num_bits: int = 8,
+    candidate_cap: int | None = 64,
 ) -> DataFrame:
-    """Embedding near-duplicate removal: drop a row iff a lower-id row
-    in the same LSH bucket has cosine ≥ threshold."""
+    """Embedding near-duplicate removal: drop a row iff a lower-id
+    *representative* of its LSH bucket has cosine ≥ threshold.
+    Representatives are the per-id-hash-cell bucket minima
+    (≤``candidate_cap`` per bucket — the bounded-candidate scheme of
+    :mod:`greatex_spark.operators.dedup`; ``None`` = exact all-pairs),
+    so a hot bucket costs rows × cap comparisons, never bucket²."""
+    from greatex_spark.operators.dedup import bucket_representatives
+
     withb = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         bucket_col(F.col(vec_col), dim, num_bits).alias("__bucket"),
     )
-    l, r = withb.alias("l"), withb.alias("r")
+    reps = bucket_representatives(withb, ["__bucket"], "__id", candidate_cap).join(
+        withb.select(F.col("__id").alias("__rep_id"), F.col("__v").alias("__rv")),
+        on="__rep_id",
+    )
     dropped = (
-        l.join(
-            r,
-            (F.col("l.__bucket") == F.col("r.__bucket"))
-            & (F.col("l.__id") > F.col("r.__id")),
-        )
-        .where(cosine(F.col("l.__v"), F.col("r.__v")) >= threshold)
-        .select(F.col("l.__id").alias(id_col))
+        withb.join(reps, on="__bucket")
+        .where(F.col("__id") > F.col("__rep_id"))
+        .where(cosine(F.col("__v"), F.col("__rv")) >= threshold)
+        .select(F.col("__id").alias(id_col))
         .distinct()
     )
     return df.join(dropped, on=id_col, how="left_anti")

@@ -118,6 +118,68 @@ def _compose_hash_sql(terms: list[str]) -> str:
 
 
 # ---------------------------------------------------------------------------
+# bounded candidate generation (shared by the verify-style families)
+#
+# A naive candidate step joins a bucket against itself — O(bucket²)
+# pairs, and web boilerplate makes giant buckets (one hot bucket at
+# 10^12 docs is a straggler/OOM task no AQE split can bound).  Instead,
+# every row compares only against its bucket's REPRESENTATIVES: split
+# the bucket into ``candidate_cap`` hash cells by id and take each
+# cell's minimum id.  That is a plain two-key aggregation (fully
+# map-side combinable, no collected lists, hot buckets stream through
+# the partial min) and bounds candidate pairs at ``rows × cap``.
+#
+# Semantics (documented approximation, replayed exactly by the SQL
+# oracles): a row is dropped iff a verified-similar representative with
+# a LOWER id shares one of its buckets.  For buckets smaller than
+# ``candidate_cap`` most ids are their own cell's minimum, so this
+# degrades toward full pairwise; for hot buckets the comparison set is
+# the cap.  Duplicates cluster, so representatives (lowest ids spread
+# pseudo-randomly by the md5 cell hash) catch them; a lost drop needs a
+# bucket where >cap distinct near-dup *groups* collide — at that point
+# the bucket itself is boilerplate and belongs to a coarser rule.
+# ``candidate_cap=None`` restores exact all-pairs generation.
+
+
+def _rep_cell(id_col: Column, cap: int) -> Column:
+    """Deterministic cell in [0, cap) — md5-derived so DuckDB replays it
+    for both long and string ids (cast to string first)."""
+    return F.pmod(md5_long(id_col.cast("string")), F.lit(cap))
+
+
+def _rep_cell_sql(id_expr: str, cap: int) -> str:
+    return f"({md5_long_sql(f'CAST({id_expr} AS VARCHAR)')} % {cap})"
+
+
+def bucket_representatives(
+    banded: DataFrame, bucket_cols: list[str], id_col: str, cap: int | None
+) -> DataFrame:
+    """Per-bucket representative ids: the minimum id of each of ``cap``
+    id-hash cells (≤ cap rows per bucket).  ``cap=None`` → every row is
+    a representative (exact all-pairs candidates)."""
+    out_id = f"__rep_{id_col.strip('_')}"
+    if cap is None:
+        return banded.select(*bucket_cols, F.col(id_col).alias(out_id)).distinct()
+    return (
+        banded.groupBy(*bucket_cols, _rep_cell(F.col(id_col), cap).alias("__cell"))
+        .agg(F.min(id_col).alias(out_id))
+        .drop("__cell")
+    )
+
+
+def _reps_cte_sql(
+    banded_cte: str, bucket_cols: str, id_col: str, cap: int | None
+) -> str:
+    """SQL twin of :func:`bucket_representatives` (a SELECT body)."""
+    if cap is None:
+        return f"SELECT DISTINCT {bucket_cols}, {id_col} AS rid FROM {banded_cte}"
+    return (
+        f"SELECT {bucket_cols}, min({id_col}) AS rid FROM {banded_cte} "
+        f"GROUP BY {bucket_cols}, {_rep_cell_sql(id_col, cap)}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact
 
 
@@ -390,17 +452,22 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     family: str = "md5",
+    candidate_cap: int | None = 64,
 ) -> DataFrame:
     """SimHash near-dup filter, candidate-generate + verify:
 
     1. signature computed ONCE per row (own projection);
-    2. candidates = pairs sharing any of the four bands (by the
-       pigeonhole principle this catches every pair with Hamming ≤ 3);
+    2. candidates = each row × the ≤``candidate_cap`` representatives
+       of any band bucket it shares (pigeonhole: a pair with Hamming ≤ 3
+       shares at least one of the four bands — so a near-dup of a
+       representative is always caught; see the bounded-candidate note
+       above);
     3. verify with an exact popcount on the XOR of full signatures;
-    4. drop the higher id of each verified pair.
+    4. drop a row iff a verified lower-id representative exists.
 
     The band exchange shuffles only (id, band, bucket, sig) rows; the
-    verify join never sees more than one bucket's candidates."""
+    representative step is a plain aggregation, so no task ever
+    materializes a hot bucket."""
     band_bits = 15 if family == "md5" else 16
     band_mask = (1 << band_bits) - 1
     sigs = df.select(
@@ -420,19 +487,19 @@ def simhash_dedup(
             )
         ).alias("__band", "__bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    reps = bucket_representatives(
+        banded, ["__band", "__bucket"], "__id", candidate_cap
+    ).join(
+        sigs.select(F.col("__id").alias("__rep_id"), F.col("__sim").alias("__rsim")),
+        on="__rep_id",
+    )
     dropped = (
-        left.join(
-            right,
-            (F.col("l.__band") == F.col("r.__band"))
-            & (F.col("l.__bucket") == F.col("r.__bucket"))
-            & (F.col("l.__id") > F.col("r.__id")),
-        )
+        banded.join(reps, on=["__band", "__bucket"])
+        .where(F.col("__id") > F.col("__rep_id"))
         .where(
-            F.bit_count(F.col("l.__sim").bitwiseXOR(F.col("r.__sim"))) <= max_hamming
+            F.bit_count(F.col("__sim").bitwiseXOR(F.col("__rsim"))) <= max_hamming
         )
-        .select(F.col("l.__id").alias(id_col))
+        .select(F.col("__id").alias(id_col))
         .distinct()
     )
     return df.join(dropped, on=id_col, how="left_anti")
@@ -495,31 +562,30 @@ def ngram_jaccard_dedup(
     num_perm: int = 16,
     num_bands: int = 8,
     family: str = "md5",
+    candidate_cap: int | None = 64,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification:
-    drop a row iff a lower-id candidate has Jaccard ≥ threshold.  The
-    verify join only materializes candidate pairs (bucket co-members),
-    never the quadratic cross product.
+    drop a row iff a lower-id verified representative shares one of its
+    band buckets (≤``candidate_cap`` representatives per bucket — see
+    the bounded-candidate note above; ``None`` = exact all-pairs).
 
     Scale path: the band exchange carries ONLY (id, bucket) — document
-    text never enters a shuffle.  Candidate id-pairs (few) then join the
-    per-doc n-gram *hash set* table twice to verify; the gram-hash
-    arrays are the only wide payload shuffled, and only once each."""
+    text never enters a shuffle — and the representative step is a
+    plain aggregation, so hot buckets never materialize.  Candidate
+    id-pairs (few) then join the per-doc n-gram *hash set* table twice
+    to verify; the gram-hash arrays are the only wide payload shuffled,
+    and only once each."""
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
             band_hashes(F.col(text_col), num_perm, num_bands, shingle_k=n, family=family)
         ).alias("__bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    reps = bucket_representatives(banded, ["__bucket"], "__id", candidate_cap)
     pairs = (
-        left.join(
-            right,
-            (F.col("l.__bucket") == F.col("r.__bucket"))
-            & (F.col("l.__id") > F.col("r.__id")),
-        )
-        .select(F.col("l.__id").alias("__ida"), F.col("r.__id").alias("__idb"))
+        banded.join(reps, on="__bucket")
+        .where(F.col("__id") > F.col("__rep_id"))
+        .select(F.col("__id").alias("__ida"), F.col("__rep_id").alias("__idb"))
         .distinct()
     )
     grams = df.select(
@@ -620,9 +686,10 @@ def simhash_dedup_duckdb_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    candidate_cap: int | None = 64,
 ) -> str:
     """Oracle for :func:`simhash_dedup` (md5 family, 60-bit signature,
-    4 bands × 15 bits)."""
+    4 bands × 15 bits, same bounded-representative candidates)."""
     words = (
         f"list_filter(string_split({_norm_sql(text_col)}, ' '), w -> w != '')"
     )
@@ -642,11 +709,15 @@ WITH __wh AS (
   FROM {table}),
 __sim AS (SELECT {id_col}, ({terms}) AS sim FROM __wh),
 __banded AS ({bands}),
+__reps AS ({_reps_cte_sql('__banded', 'band, bucket', id_col, candidate_cap)}),
+__rsig AS (
+  SELECT r.band, r.bucket, r.rid, s.sim AS rsim
+  FROM __reps r JOIN __sim s ON s.{id_col} = r.rid),
 __dropped AS (
   SELECT DISTINCT l.{id_col} AS did
-  FROM __banded l JOIN __banded r
-    ON l.band = r.band AND l.bucket = r.bucket AND l.{id_col} > r.{id_col}
-  WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming})
+  FROM __banded l JOIN __rsig r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.{id_col} > r.rid
+  WHERE bit_count(xor(l.sim, r.rsim)) <= {max_hamming})
 SELECT {select_cols} FROM {table} t
 WHERE t.{id_col} NOT IN (SELECT did FROM __dropped)
 """
@@ -661,9 +732,11 @@ def ngram_jaccard_dedup_duckdb_sql(
     threshold: float = 0.8,
     num_perm: int = 16,
     num_bands: int = 8,
+    candidate_cap: int | None = 64,
 ) -> str:
     """Oracle for :func:`ngram_jaccard_dedup` (md5 family): LSH band
-    candidates + exact jaccard on the n-gram hash sets."""
+    candidates against bounded bucket representatives + exact jaccard
+    on the n-gram hash sets."""
     ctes = _minhash_ctes_sql(table, id_col, text_col, num_perm, num_bands, n)
     wf = f"list_filter(string_split({_norm_sql(text_col)}, ' '), w -> w != '')"
     gram = _compose_hash_sql([f"wh[i + {j}]" for j in range(n)])
@@ -675,10 +748,11 @@ __grams AS (
       range(1, greatest(len(wh) - {n}, 0) + 2), i -> {gram})) AS gh
   FROM (SELECT {id_col},
         list_transform({wf}, w -> {md5_long_sql('w')}) AS wh FROM {table})),
+__reps AS ({_reps_cte_sql('__banded', 'bucket', id_col, candidate_cap)}),
 __pairs AS (
-  SELECT DISTINCT l.{id_col} AS ida, r.{id_col} AS idb
-  FROM __banded l JOIN __banded r
-    ON l.bucket = r.bucket AND l.{id_col} > r.{id_col}),
+  SELECT DISTINCT l.{id_col} AS ida, r.rid AS idb
+  FROM __banded l JOIN __reps r
+    ON l.bucket = r.bucket AND l.{id_col} > r.rid),
 __dropped AS (
   SELECT DISTINCT p.ida AS did
   FROM __pairs p

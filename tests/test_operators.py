@@ -89,6 +89,49 @@ def test_ngram_jaccard_dedup(docs):
     assert kept == [0, 2]
 
 
+def test_hot_bucket_candidates_bounded(spark):
+    """Boilerplate fixture: 400 copies of one text (all four simhash
+    bands collide → one hot bucket per band).  The representative step
+    must bound candidates at rows × cap instead of bucket² pairs, and
+    dedup must still collapse the clones to the lowest id."""
+    from pyspark.sql import functions as F
+
+    from greatex_spark.operators.dedup import (
+        bucket_representatives,
+        ngram_jaccard_dedup,
+        simhash_dedup,
+    )
+
+    n, cap = 400, 8
+    boiler = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    fresh = spark.createDataFrame([(n + 1, DIFFERENT)], "doc_id long, text string")
+    df = boiler.unionByName(fresh)
+
+    # representative bound: ≤ cap rows per (bucket-cols) group
+    banded = df.select(
+        F.col("doc_id").alias("__id"), F.lit(0).alias("__bucket")
+    )
+    reps = bucket_representatives(banded, ["__bucket"], "__id", cap)
+    per_bucket = reps.groupBy("__bucket").count().collect()
+    assert all(r["count"] <= cap for r in per_bucket)
+
+    # capped candidates: rows × cap pairs max, NOT n²/2 ≈ 80k
+    for dedup_fn in (simhash_dedup, ngram_jaccard_dedup):
+        kept = sorted(
+            r.doc_id
+            for r in dedup_fn(df, "text", "doc_id", candidate_cap=cap).collect()
+        )
+        assert kept == [0, n + 1], dedup_fn.__name__
+
+    # exact mode still available
+    kept_exact = sorted(
+        r.doc_id for r in simhash_dedup(df, "text", "doc_id", candidate_cap=None).collect()
+    )
+    assert kept_exact == [0, n + 1]
+
+
 def test_brute_force_topk_vs_duckdb(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50).cache()
     got = brute_force_topk(emb, emb, k=3).orderBy("query_id", "rank").collect()
