@@ -854,17 +854,20 @@ def _ann_ivf_oracle() -> dict[str, str]:
     """DuckDB twin of :func:`ann_ivf_topk` — the oracle harness runs at
     sf0.01 (driver contract), so the quantizer retrains on that parquet
     with the identical hash sample + deterministic Lloyd's and the
-    centroids inline as literals.  If the fixture is unavailable the
-    entry is omitted and the driver falls back to the rows-only check."""
+    centroids inline as literals.  ``SPARK_GRAFT_ORACLE_SF_DIR``
+    overrides the corpus (the pytest parity suite checks the same
+    contract at sf0.001).  If the fixture is unavailable the entry is
+    omitted and the driver falls back to the rows-only check."""
+    import os
+
     from greatex_spark.operators.ann import (
         ivf_centroids_from_parquet,
         ivf_topk_duckdb_sql,
     )
 
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
-        cents = ivf_centroids_from_parquet(
-            "/root/testdata/sf0.01/embeddings.parquet", nlist=8
-        )
+        cents = ivf_centroids_from_parquet(f"{sf_dir}/embeddings.parquet", nlist=8)
     except Exception:
         return {}
     return {"ann_ivf_topk": ivf_topk_duckdb_sql("vec_id < 8", cents, nprobe=4)}

@@ -9,6 +9,7 @@ identical check at sf0.01.
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -16,9 +17,12 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-import __spark_entry__ as entrymod
-
 SF_DIR = "/root/testdata/sf0.001"
+# corpus-dependent oracles (IVF centroid literals) must retrain on the
+# SAME corpus this suite runs against — set before oracle_sql() is called
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
+import __spark_entry__ as entrymod  # noqa: E402
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
