@@ -793,19 +793,83 @@ def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline + multimodal (rows-only: inputs are generated/binary)
 
 
-def pipeline_pages_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end flagship: synthesize the Common-Crawl-style page table
-    (deterministic, BASELINE.json input_hint schema), featurize in one
-    pass (heuristics + langid + perplexity UDF + scrub), filter, MinHash-
-    dedup, project the gold contract."""
+def _bronze_fixture(sf_dir: str) -> str:
+    """Committed bronze page fixture (tools/make_bronze_fixture.py) —
+    byte-identical input for the Spark pipeline and its DuckDB twin."""
+    import os
+
     n = 4000 if "0.01" in sf_dir else 1500
-    # cut lineage after generation: the page text is one huge nested CASE
-    # expression, and letting Catalyst inline it into all ~15 downstream
-    # feature expressions explodes codegen (the pipeline runner gets the
-    # same cut for free by committing bronze to parquet first)
-    pages = generate_pages(spark, n, seed=42).localCheckpoint()
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", f"bronze_pages_n{n}.parquet",
+    )
+
+
+def pipeline_pages_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end flagship over the committed Common-Crawl-style bronze
+    fixture (BASELINE.json input_hint schema): featurize in one pass
+    (heuristics + langid + perplexity UDF + scrub), filter, MinHash-
+    dedup, project the gold contract.
+
+    Oracle configuration (the spec path — every stage SQL-replayable):
+    md5 dedup family, native Column features, string-gram duplicate
+    fractions.  The hot path (Arrow signals + xxhash64 family, pinned
+    semantically equal by the parity pytests) is what ``bench.py`` and
+    the pipeline runner measure."""
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    cfg = PipelineConfig(
+        dedup_hash_family="md5", arrow_features=False, hashed_ngrams=False
+    )
+    return gold_projection(dedup(filter_kept(featurize(bronze, cfg)), cfg))
+
+
+def _pipeline_pages_gold_sql() -> str:
+    """DuckDB twin of :func:`pipeline_pages_gold` — the whole pipeline
+    composed from the per-stage SQL twins over the same bronze fixture:
+    gopher keep conjunction + heuristic langid + trigram perplexity
+    (MAP-literal model, identical IEEE fold) + PII scrub chain, then the
+    md5-family MinHash-LSH survivor rule, then the gold projection."""
+    import os
+
+    from greatex_spark.functions.heuristics import gopher_keep_duckdb_sql
+    from greatex_spark.operators.dedup import _minhash_ctes_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    fixture = _bronze_fixture(sf_dir)
     cfg = PipelineConfig()
-    return gold_projection(dedup(filter_kept(featurize(pages, cfg)), cfg))
+    keep_q = gopher_keep_duckdb_sql("b.text", cfg.gopher_thresholds)
+    lang_pred = detect_lang_duckdb_sql("b.text")
+    scrubbed = scrub_pii_duckdb_sql("b.text")
+    bpe = BPE_TOKEN_REGEX.replace("'", "''")
+    ppl = perplexity_duckdb_sql(table="__bronze", id_col="url", text_col="text")
+    minhash_ctes = _minhash_ctes_sql(
+        "__kept", "url", "text",
+        cfg.minhash_num_perm, cfg.minhash_num_bands, shingle_k=5,
+    )
+    return f"""
+WITH __bronze AS MATERIALIZED (
+  SELECT url, warc_ts, text FROM read_parquet('{fixture}/*.parquet')),
+__ppl AS MATERIALIZED ({ppl}),
+__feat AS (
+  SELECT b.url, b.warc_ts, b.text,
+         {keep_q} AS keep_quality,
+         {lang_pred} AS lang_pred,
+         p.log_ppl AS log_ppl,
+         {scrubbed} AS text_scrubbed,
+         len(regexp_extract_all(b.text, '{bpe}')) AS n_tokens
+  FROM __bronze b JOIN __ppl p USING (url)),
+__kept AS MATERIALIZED (
+  SELECT * FROM __feat
+  WHERE keep_quality AND lang_pred = '{cfg.target_lang}'
+    AND log_ppl IS NOT NULL AND log_ppl <= {cfg.ppl_threshold}),
+{minhash_ctes},
+__mins AS (
+  SELECT band, bucket, min(url) AS bmin FROM __banded GROUP BY band, bucket),
+__reps AS (
+  SELECT bmin FROM __mins GROUP BY bmin HAVING count(*) = {cfg.minhash_num_bands})
+SELECT t.url, t.warc_ts, t.text_scrubbed AS text, t.lang_pred AS lang, t.n_tokens
+FROM __kept t JOIN __reps r ON t.url = r.bmin
+"""
 
 
 def pipeline_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,6 +1108,7 @@ SELECT label, count(*) AS n,
 FROM embeddings GROUP BY label
 """,
         **_ann_ivf_oracle(),
+        "pipeline_pages_gold": _pipeline_pages_gold_sql(),
         # the fake decoder is a sha256 fold of the payload bytes, so even
         # the multimodal plumbing replays in SQL (payload = utf8(text),
         # feature_j = LE-uint16 of digest bytes / 65535 rounded 6)
@@ -1058,7 +1123,7 @@ FROM (
     sha256(text || (['image', 'audio', 'video'])[(doc_id % 3) + 1]) AS h
   FROM documents WHERE doc_id < 100)
 """,
-        # omitted (rows-only by design): pipeline_lineage_metrics (the
-        # metrics rows carry run-scoped identifiers; the gold DATA path is
-        # oracle-checked via pipeline_pages_gold instead).
+        # omitted (rows-only by design): pipeline_lineage_metrics — the
+        # metrics rows carry run-scoped identifiers; the gold DATA path
+        # is fully oracle-checked via pipeline_pages_gold above.
     }

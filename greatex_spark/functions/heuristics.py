@@ -217,6 +217,77 @@ def gopher_keep_condition(
     )
 
 
+def gopher_keep_duckdb_sql(
+    text_expr: str, thresholds: dict[str, float] | None = None
+) -> str:
+    """DuckDB boolean expression replaying the 13-condition
+    ``keep_quality`` conjunction of :func:`gopher_keep_condition` /
+    ``pipeline.stages.featurize`` exactly (same tokenization, same
+    ``max(n,1)`` ratio denominators, same int→double divisions).
+
+    The duplicate-n-gram twin counts distinct gram *strings* — equal to
+    the native spec (``quality_struct(hashed_ngrams=False)``); run the
+    pipeline with ``PipelineConfig(hashed_ngrams=False)`` when this
+    expression is the oracle."""
+    t = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
+    c = text_expr
+    words = f"regexp_extract_all({c}, '\\S+')"
+    n_words = f"len({words})"
+    nw = f"greatest({n_words}, 1)"
+    word_chars = f"length(regexp_replace({c}, '\\s+', '', 'g'))"
+    lines = f"string_split({c}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)"
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+    def dup_frac(n: int) -> str:
+        # truncating list_zip of shifted copies, NOT per-gram list_slice:
+        # slice inside the lambda is O(n_words) per call, i.e. an
+        # O(n_words^2) gram build per document (measured 30 s vs 0.8 s
+        # over 4k pages); each shifted copy here is built once per row
+        shifted = ", ".join(f"{words}[{j + 1}:]" for j in range(1, n))
+        joined = " || ' ' || ".join(f"p[{j + 1}]" for j in range(n))
+        grams = f"list_transform(list_zip({words}, {shifted}, true), p -> {joined})"
+        return (
+            f"(CASE WHEN len({grams}) > 0 THEN "
+            f"(len({grams}) - len(list_distinct({grams}))) / CAST(len({grams}) AS BIGINT) "
+            f"ELSE 0.0 END)"
+        )
+
+    conds = [
+        f"length({c}) >= {int(t['min_chars'])}",
+        f"length({c}) <= {int(t['max_chars'])}",
+        f"{n_words} >= {int(t['min_words'])}",
+        f"{n_words} <= {int(t['max_words'])}",
+        f"({word_chars} / CAST({nw} AS BIGINT)) >= {t['min_mean_word_length']}",
+        f"({word_chars} / CAST({nw} AS BIGINT)) <= {t['max_mean_word_length']}",
+        (
+            f"(len(regexp_extract_all({c}, '(#|\\.\\.\\.|…)')) / CAST({nw} AS BIGINT))"
+            f" <= {t['max_symbol_to_word_ratio']}"
+        ),
+        (
+            f"(len(list_filter({lines}, ln -> regexp_matches(trim(ln), "
+            f"'^([\\*\\-•▪●]|\\d+[\\.\\)])'))) / CAST({n_lines} AS BIGINT))"
+            f" <= {t['max_bullet_line_fraction']}"
+        ),
+        (
+            f"(len(list_filter({lines}, ln -> regexp_matches(trim(ln), "
+            f"'(\\.\\.\\.|…)$'))) / CAST({n_lines} AS BIGINT))"
+            f" <= {t['max_ellipsis_line_fraction']}"
+        ),
+        (
+            f"(len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+            f" / CAST({nw} AS BIGINT)) >= {t['min_alpha_word_fraction']}"
+        ),
+        (
+            f"len(list_filter({words}, w -> lower(w) IN ({stop})))"
+            f" >= {int(t['min_stopword_count'])}"
+        ),
+        f"{dup_frac(2)} <= {t['max_dup_2gram_fraction']}",
+        f"{dup_frac(3)} <= {t['max_dup_3gram_fraction']}",
+    ]
+    return "(" + "\n   AND ".join(conds) + ")"
+
+
 def gopher_quality_suite(
     text_col: str = "text",
     mostly: float = 0.0,

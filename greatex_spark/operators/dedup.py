@@ -653,7 +653,13 @@ def _minhash_ctes_sql(
             f"SELECT {id_col}, {b} AS band, {md5_long_sql(joined)} AS bucket FROM __sig"
         )
     banded = "\nUNION ALL ".join(band_selects)
-    return f"__sh AS ({sh}),\n__sig AS ({sig}),\n__banded AS ({banded})"
+    # __sig MUST be materialized: __banded references it once per band,
+    # and an inlined CTE would recompute the full signature num_bands
+    # times (measured 12 s -> ~1 s on a 1.9k-doc oracle replay)
+    return (
+        f"__sh AS MATERIALIZED ({sh}),\n"
+        f"__sig AS MATERIALIZED ({sig}),\n__banded AS ({banded})"
+    )
 
 
 def minhash_lsh_dedup_duckdb_sql(

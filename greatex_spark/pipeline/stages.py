@@ -52,6 +52,10 @@ class PipelineConfig:
     # semantics, ~10-30x cheaper than the interpreted-HOF native spec —
     # see functions/heuristics_arrow.py) vs native Column expressions
     arrow_features: bool = True
+    # native path only: duplicate-n-gram fractions over hashed gram
+    # identities (GC-light hot path) vs gram strings (the exact spec the
+    # DuckDB pipeline oracle replays) — equal up to 64-bit collisions
+    hashed_ngrams: bool = True
     # gate: fraction of bronze rows that must survive the keep filter
     keep_fraction_band: tuple[float, float] = (0.25, 0.75)
     # salt-spread bronze on hash(url) at commit (crawl feeds arrive
@@ -89,7 +93,7 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
     else:
         step1 = df.select(
             "*",
-            quality_struct(F.col("text"), hashed_ngrams=True).alias("__qs"),
+            quality_struct(F.col("text"), hashed_ngrams=config.hashed_ngrams).alias("__qs"),
             detect_lang("text").alias("lang_pred"),
             log_perplexity_udf(F.col("text")).alias("log_ppl"),
             scrub_pii("text").alias("text_scrubbed"),

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from greatex_spark.expectations.compiler import run_suite
 from greatex_spark.expectations.spec import Suite
 from greatex_spark.sources.files import PAGE_SCHEMA
+from greatex_spark.tables import Catalog
 
 
 def gated_ingest(
@@ -38,13 +39,16 @@ def gated_ingest(
     suite: Suite,
     metrics_rows: list | None = None,
     max_files_per_trigger: int | None = None,
+    catalog: Catalog | None = None,
 ) -> None:
     """Drain the landing directory into bronze, one validated
     micro-batch at a time (blocking until drained).
 
-    ``metrics_rows``, when given, collects the flattened lineage dicts
-    of every batch validation (the streaming twin of
-    ``store_partition_lineage``)."""
+    ``catalog``, when given, appends each micro-batch's typed gate
+    metrics to the SAME ``metrics`` table the batch checkpoints use
+    (``pipeline.checkpoint.store_metrics``, batch_id as the epoch) —
+    batch and streaming runs share one lineage store.  ``metrics_rows``
+    additionally collects the flattened dicts in-process (tests)."""
     reader = spark.readStream.schema(PAGE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -59,6 +63,12 @@ def gated_ingest(
         )
         if metrics_rows is not None:
             metrics_rows.extend(vr.to_metrics_rows())
+        if catalog is not None:
+            # same typed store as the batch gates — one metrics table
+            # for the whole lake, streaming epochs keyed by batch_id
+            from greatex_spark.pipeline.checkpoint import store_metrics
+
+            store_metrics(spark, catalog, vr, epoch=batch_id)
         target = bronze_dir if vr.success else quarantine_dir
         # idempotent write: foreachBatch is at-least-once — a crash
         # between the write and the checkpoint commit replays the batch.

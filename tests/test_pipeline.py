@@ -160,6 +160,34 @@ def test_gate_failure_halts_and_resume_completes(spark, tmp_path, pages):
     assert all(v.success for v in result.validations.values())
 
 
+def test_bronze_fixture_matches_generator(spark):
+    """The committed parquet fixtures (tools/make_bronze_fixture.py) must
+    stay byte-equal to generate_pages(seed=42) — the pipeline oracle
+    reads the fixture files, so silent generator drift would quietly
+    decouple the Spark query from its DuckDB twin."""
+    import os
+
+    fix_dir = os.path.join(os.path.dirname(__file__), "fixtures")
+    for n in (1500, 4000):
+        fixture = spark.read.parquet(
+            os.path.join(fix_dir, f"bronze_pages_n{n}.parquet")
+        )
+        gen = generate_pages(spark, n, seed=42)
+        # parquet round-trip relaxes nullability; names+types must match
+        assert [(f.name, f.dataType) for f in fixture.schema] == [
+            (f.name, f.dataType) for f in gen.schema
+        ], n
+        cols = [F.col(c) for c in gen.columns]
+
+        def chk(df):
+            return df.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64(*cols)).alias("h"),
+            ).collect()[0]
+
+        assert chk(fixture) == chk(gen), n
+
+
 def test_missing_bronze_requires_source(spark, tmp_path):
     catalog = Catalog(str(tmp_path / "lake3"))
     with pytest.raises(ValueError, match="source_df required"):

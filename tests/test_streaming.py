@@ -71,6 +71,37 @@ def test_gated_ingest_quarantines_bad_batch(spark, tmp_path):
     assert any(not m["successful_outcome"] for m in metrics)
 
 
+def test_gated_ingest_metrics_share_batch_store(spark, tmp_path):
+    """Streaming gate metrics land in the SAME catalog `metrics` table
+    as the batch checkpoints — one lineage store, identical schema,
+    streaming epochs keyed by micro-batch id."""
+    from greatex_spark.pipeline.checkpoint import METRICS_SCHEMA, METRICS_TABLE
+    from greatex_spark.tables import Catalog
+
+    landing = str(tmp_path / "landing")
+    catalog = Catalog(str(tmp_path / "lake"))
+    pages = generate_pages(spark, 40, seed=3)
+    _land(pages.where(F.col("url").endswith("0")), landing)
+    _land(pages.where(F.col("url").endswith("1")), landing)
+
+    gated_ingest(
+        spark, landing, str(tmp_path / "bronze"), str(tmp_path / "q"),
+        str(tmp_path / "ckpt"), _suite(), catalog=catalog,
+    )
+    stored = catalog.read_latest(spark, METRICS_TABLE)
+    # exact batch-path schema (names + types)
+    assert [(f.name, f.dataType) for f in stored.schema] == [
+        (f.name, f.dataType) for f in METRICS_SCHEMA
+    ]
+    rows = stored.collect()
+    # 2 expectations x >=1 micro-batch, all green, epoch = batch_id
+    assert len(rows) >= 2 and all(r.successful_outcome for r in rows)
+    assert {r.batch_identifier for r in rows} >= {"stream-batch-0"}
+    assert all(
+        r.batch_identifier == f"stream-batch-{r.checkpoint_epoch}" for r in rows
+    )
+
+
 def test_running_lang_stats_stateful(spark, tmp_path):
     """applyInPandasWithState keeps cumulative per-lang totals across
     micro-batches: with one file per trigger, the final emission per
