@@ -154,6 +154,137 @@ def main() -> None:
             timed(name, run, runs=2)
             recalls[name] = round(len(exact_pairs & got) / len(exact_pairs), 4)
 
+        # ---- ANN crossover: the regime approximate indexing exists for --
+        # The fixture embeddings above are uniform-random (the worst case
+        # for any space-partitioning index: every probe set is as good as
+        # random).  Real text/image embeddings are CLUSTERED; on a seeded
+        # clustered corpus (greatex_spark.embeddings) the probe-scan
+        # paths do the brute-force scan at a few % of its FLOPs/memory
+        # traffic.  Reported: wall time AND recall AND the exact
+        # candidate fraction each index probes.
+        import numpy as np  # noqa: PLC0415
+
+        from greatex_spark.embeddings import (  # noqa: PLC0415
+            generate_clustered_embeddings,
+        )
+        from greatex_spark.operators.ann import (  # noqa: PLC0415
+            _hash_sample,
+            _projection_matrix,
+            _query_probe_map,
+            _sign_buckets_np,
+            _vec_matrix,
+            assign_cells_arrow,
+            bucket_col_arrow,
+            ivf_topk_arrow,
+            lsh_topk_probe_arrow,
+            train_centroids,
+        )
+
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        xn = int(os.environ.get("GREATEX_XOVER_N", 400_000))
+        xq_target = int(os.environ.get("GREATEX_XOVER_Q", 4096))
+        xdim, xcl, xbits, xmp = 64, 256, 16, 2
+        xemb = (
+            generate_clustered_embeddings(spark, xn, dim=xdim, n_clusters=xcl)
+            .select("vec_id", "embedding")
+            .repartition(cores)
+            .cache()
+        )
+        xemb.count()
+        stride = max(1, xn // xq_target)
+        xqdf = xemb.where(F.col("vec_id") % stride == 0).cache()
+        n_queries = xqdf.count()
+        cents = train_centroids(
+            _vec_matrix(
+                [r[1] for r in _hash_sample(xemb, "vec_id", "embedding", 8192).collect()]
+            ),
+            xcl, 10,
+        )
+        xsets: dict[str, set] = {}
+        for name, fn in (
+            ("xover_exact_arrow", lambda: brute_force_topk_arrow(xqdf, xemb, k=5)),
+            (
+                "xover_ivf_arrow",
+                lambda: ivf_topk_arrow(
+                    xqdf, xemb, k=5, nlist=xcl, nprobe=4, centroids=cents
+                ),
+            ),
+            (
+                "xover_lsh_arrow",
+                lambda: lsh_topk_probe_arrow(
+                    xqdf, xemb, dim=xdim, k=5, num_bits=xbits, multiprobe=xmp
+                ),
+            ),
+        ):
+            got = xsets.setdefault(name, set())
+
+            def run(fn=fn, got=got):
+                got.clear()
+                got.update((r.query_id, r.neighbor_id) for r in fn().collect())
+
+            timed(name, run, runs=2)
+        x_exact = xsets["xover_exact_arrow"]
+        xover_recall = {
+            n: round(len(x_exact & xsets[n]) / len(x_exact), 4)
+            for n in ("xover_ivf_arrow", "xover_lsh_arrow")
+        }
+        # exact candidate fractions (instrumentation pass, not timed)
+        qm = _vec_matrix([r.embedding for r in xqdf.collect()])
+        _, cell_q = _query_probe_map(qm, np.array(cents), 4)
+        cell_n = {
+            r.cell: r.n
+            for r in assign_cells_arrow(xemb, cents)
+            .groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        frac_ivf = sum(
+            cell_n.get(c, 0) * len(ql) for c, ql in cell_q.items()
+        ) / (xn * n_queries)
+        planes = np.array(_projection_matrix(xdim, xbits, 7))
+        probe_sets: dict[int, set] = {}
+        for qi, b in enumerate(_sign_buckets_np(qm, planes)):
+            bs = {int(b)} | {int(b) ^ (1 << i) for i in range(xbits)}
+            bs |= {
+                int(b) ^ (1 << i) ^ (1 << j)
+                for i in range(xbits) for j in range(i + 1, xbits)
+            }
+            for bb in bs:
+                probe_sets.setdefault(bb, set()).add(qi)
+        bucket_n = {
+            r.b: r.n
+            for r in xemb.select(
+                bucket_col_arrow(F.col("embedding"), xdim, xbits, 7).alias("b")
+            ).groupBy("b").agg(F.count("*").alias("n")).collect()
+        }
+        frac_lsh = sum(
+            bucket_n.get(b, 0) * len(s) for b, s in probe_sets.items()
+        ) / (xn * n_queries)
+        ann_crossover = {
+            "corpus_n": xn,
+            "dim": xdim,
+            "n_clusters": xcl,
+            "queries": n_queries,
+            "k": 5,
+            "exact_sec": timings["xover_exact_arrow"],
+            "ivf_sec": timings["xover_ivf_arrow"],
+            "lsh_sec": timings["xover_lsh_arrow"],
+            "speedup_ivf": round(
+                timings["xover_exact_arrow"] / timings["xover_ivf_arrow"], 2
+            ),
+            "speedup_lsh": round(
+                timings["xover_exact_arrow"] / timings["xover_lsh_arrow"], 2
+            ),
+            "recall": xover_recall,
+            "candidate_fraction": {
+                "xover_ivf_arrow": round(frac_ivf, 4),
+                "xover_lsh_arrow": round(frac_lsh, 4),
+            },
+            "config": {
+                "ivf": {"nlist": xcl, "nprobe": 4},
+                "lsh": {"num_bits": xbits, "multiprobe": xmp},
+            },
+        }
+        xemb.unpersist()
+
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -167,6 +298,7 @@ def main() -> None:
                     "kept": kept_rows,
                     "docs_per_sec": docs_per_sec,
                     "ann_recall": recalls,
+                    "ann_crossover": ann_crossover,
                     "total_sec": total,
                     "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 }

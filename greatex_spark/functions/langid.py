@@ -126,3 +126,59 @@ def with_langid(
     return df.withColumns(
         {prefix + "lang": res["lang"], prefix + "confidence": res["confidence"]}
     )
+
+
+# ---------------------------------------------------------------------------
+# real-model seam: swap in an actual fastText .bin without touching the
+# pipeline — the same one-constructor-arg pattern as
+# ``PipelineConfig.arrow_features``.
+
+# per-executor-process model cache: the model object is NEVER pickled
+# into the task closure (a real lid.176.bin is ~130 MB); each Python
+# worker loads it once from the (cluster-visible) path on first batch
+_EXTERNAL_MODELS: dict[str, object] = {}
+
+
+def _fasttext_loader(model_path: str):
+    import fasttext  # not bundled here; the seam is for real deployments
+
+    return fasttext.load_model(model_path)
+
+
+def make_langid_udf(model_path: str | None = None, loader=None):
+    """Factory for the language-ID UDF.
+
+    - ``model_path=None`` → the deterministic embedded stand-in
+      (:func:`langid_udf`), bit-stable, oracle-replayable.
+    - ``model_path='/models/lid.176.bin'`` → an Arrow UDF that lazily
+      loads the real model once per executor process via
+      ``loader(model_path)`` (default: ``fasttext.load_model``) and
+      scores whole batches through ``model.predict(texts, k=1)``
+      (fastText's batch API; ``__label__xx`` prefixes stripped).
+
+    ``loader`` must be cloudpickle-serializable (a top-level function
+    or lambda); the *loaded model* never crosses the wire."""
+    if model_path is None:
+        return langid_udf
+    load = loader or _fasttext_loader
+
+    @pandas_udf(LANGID_SCHEMA)
+    def external_langid_udf(texts: pd.Series) -> pd.DataFrame:
+        model = _EXTERNAL_MODELS.get(model_path)
+        if model is None:
+            model = load(model_path)
+            _EXTERNAL_MODELS[model_path] = model
+        mask = texts.notna().to_numpy()
+        clean = [
+            str(t).replace("\n", " ")[:2000] for t in texts[mask]
+        ]  # fastText rejects newlines; same scoring cap as the stand-in
+        langs: list[str | None] = [None] * len(texts)
+        confs: list[float | None] = [None] * len(texts)
+        if clean:
+            labels, probs = model.predict(clean, k=1)
+            for pos, lab, pr in zip(np.flatnonzero(mask), labels, probs):
+                langs[pos] = lab[0].removeprefix("__label__")
+                confs[pos] = float(pr[0])
+        return pd.DataFrame({"lang": langs, "confidence": confs})
+
+    return external_langid_udf

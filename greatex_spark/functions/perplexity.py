@@ -111,6 +111,57 @@ def with_perplexity(
 
 
 # ---------------------------------------------------------------------------
+# real-model seam (KenLM .arpa/.bin) — mirror of
+# ``langid.make_langid_udf``: path in, per-executor lazy load, batch
+# scoring; the stand-in stays the default.
+
+_EXTERNAL_MODELS: dict[str, object] = {}
+_LN10 = math.log(10.0)
+
+
+def _kenlm_loader(model_path: str):
+    import kenlm  # not bundled here; the seam is for real deployments
+
+    return kenlm.Model(model_path)
+
+
+def make_log_perplexity_udf(model_path: str | None = None, loader=None):
+    """Factory for the log-perplexity UDF.
+
+    - ``model_path=None`` → the deterministic embedded trigram stand-in
+      (:func:`log_perplexity_udf`), bit-stable, oracle-replayable.
+    - ``model_path='/models/en.arpa.bin'`` → an Arrow UDF lazily loading
+      the real KenLM model once per executor process via
+      ``loader(model_path)`` (default: ``kenlm.Model``).  Score is the
+      CCNet normalization: ``-log10 P(sentence) * ln(10) / (n_words+1)``
+      (natural-log perplexity per token, </s> included), rounded to 6
+      decimals like the stand-in so thresholds are comparable."""
+    if model_path is None:
+        return log_perplexity_udf
+    load = loader or _kenlm_loader
+
+    @pandas_udf(T.DoubleType())
+    def external_ppl_udf(texts: pd.Series) -> pd.Series:
+        model = _EXTERNAL_MODELS.get(model_path)
+        if model is None:
+            model = load(model_path)
+            _EXTERNAL_MODELS[model_path] = model
+
+        def score(t):
+            if t is None:
+                return None
+            s = str(t)[:MAX_SCORED_CHARS].replace("\n", " ")
+            n = len(s.split())
+            if n == 0:
+                return None
+            return round(-model.score(s, bos=True, eos=True) * _LN10 / (n + 1), 6)
+
+        return texts.map(score)
+
+    return external_ppl_udf
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle twin: the model is tiny (~300 n-gram counts trained on
 # the fixed seed corpus), so the count tables inline as MAP literals and
 # the scoring loop becomes a sequential list_reduce fold — the same

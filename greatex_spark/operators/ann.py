@@ -49,6 +49,15 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+
+def _vec_matrix(values, dtype=np.float64) -> np.ndarray:
+    """Stack a pandas Series / list of array<float> cells into a 2-D
+    float64 matrix.  With Arrow transfer each cell is already a numpy
+    array, so ``np.vstack`` is a single copy — the per-row
+    ``[list(v) for v in ...]`` it replaces was the top self-time line
+    in the 200k-vector crossover profile."""
+    return np.vstack([np.asarray(v, dtype=dtype) for v in values])
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -123,7 +132,7 @@ def bucket_col_arrow(vec: Column, dim: int, num_bits: int = 8, seed: int = 7) ->
 
     @pandas_udf("long")
     def _bucket(vs):  # pd.Series of array<float> -> pd.Series of long
-        vm = np.array([list(v) for v in vs], dtype=np.float64)
+        vm = _vec_matrix(vs)
         signs = (vm @ planes.T) >= 0
         return pd.Series(signs @ weights)
 
@@ -409,7 +418,7 @@ def ivf_topk(
     :func:`brute_force_topk` (see tests/bench)."""
     if centroids is None:
         rows = _hash_sample(corpus, id_col, vec_col, train_sample).collect()
-        pts = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        pts = _vec_matrix([r[1] for r in rows])
         centroids = train_centroids(pts, nlist, max_iter)
 
     corpus_v = corpus.select(
@@ -440,6 +449,273 @@ def ivf_topk(
     return _topk_of_scored(scored, k)
 
 
+def _query_probe_map(
+    qm: np.ndarray, centroids: np.ndarray, nprobe: int
+) -> tuple[np.ndarray, dict[int, np.ndarray]]:
+    """Driver-side probe structures for the broadcast-query IVF path:
+    per-query nprobe nearest cells (stable sort — ties to the lowest
+    cell index, matching the native ``array_sort((d, i))`` spec) and the
+    inverse map cell → indices of the queries probing it."""
+    d2 = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d2, axis=1, kind="stable")
+    probes = order[:, :nprobe]
+    cell_queries = {
+        int(c): np.flatnonzero((probes == c).any(axis=1))
+        for c in np.unique(probes)
+    }
+    return probes, cell_queries
+
+
+def _assign_cells_np(cm: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-centroid assignment: squared L2 via the
+    ``|x|^2 - 2 x.c + |c|^2`` expansion (one matmul per batch); argmin
+    ties break to the lowest cell index, matching the native spec."""
+    d2 = (
+        (cm * cm).sum(axis=1)[:, None]
+        - 2.0 * (cm @ centroids.T)
+        + (centroids * centroids).sum(axis=1)[None, :]
+    )
+    return np.argmin(d2, axis=1)
+
+
+def ivf_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+    train_sample: int = 4096,
+    max_iter: int = 10,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF hot path for broadcastable query sets — the 100 TB shape.
+
+    Same index as :func:`ivf_topk` (hash-sampled numpy Lloyd's
+    quantizer), different execution: the query matrix and a driver-built
+    ``cell → probing queries`` map ride the task closure; ONE
+    ``mapInPandas`` scan assigns each corpus batch to cells with a
+    single matmul and scores each cell's members against only the
+    queries that probe that cell, emitting per-(batch, cell) top-(k+1)
+    leaders.  No candidate join, no per-pair rows carrying vectors —
+    the only exchange is ``partitions × |probed cells| × queries × (k+1)``
+    leader rows into the final per-query merge window (identical shape
+    to :func:`brute_force_topk_arrow`, so wall-time differences measure
+    exactly the FLOP reduction: ~``nprobe/nlist`` of the brute-force
+    work on balanced cells).
+
+    Scores use the same rounding + tie-break as every other ANN path.
+    Recall < 1.0 by construction — measured next to wall time and
+    candidate fraction in ``bench.py``."""
+    if centroids is None:
+        rows = _hash_sample(corpus, id_col, vec_col, train_sample).collect()
+        pts = _vec_matrix([r[1] for r in rows])
+        centroids = train_centroids(pts, nlist, max_iter)
+    cents = np.array(centroids, dtype=np.float64)
+
+    q_ids, qm, q_zero, qn = _query_matrix(queries, id_col, vec_col)
+    _, cell_queries = _query_probe_map(qm, cents, nprobe)
+    return _probe_scan_topk(
+        corpus, k, id_col, vec_col, score_decimals,
+        q_ids, qn, q_zero,
+        lambda cm: _assign_cells_np(cm, cents),
+        cell_queries,
+    )
+
+
+def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect the (broadcast-contract) query side into driver numpy
+    structures: ids, raw matrix, zero-norm mask, normalized matrix."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = _vec_matrix([r[1] for r in q_rows])
+    q_norm = np.linalg.norm(qm, axis=1)
+    q_zero = q_norm == 0.0
+    qn = qm / np.where(q_zero, 1.0, q_norm)[:, None]
+    return q_ids, qm, q_zero, qn
+
+
+def _probe_scan_topk(
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    score_decimals: int,
+    q_ids: np.ndarray,
+    qn: np.ndarray,
+    q_zero: np.ndarray,
+    assign_np,
+    cell_queries: dict[int, np.ndarray],
+) -> DataFrame:
+    """Shared probe-restricted scan for broadcast-query ANN (IVF cells
+    or LSH sign buckets): one ``mapInPandas`` pass assigns each corpus
+    batch to cells via ``assign_np`` (a single matmul), scores each
+    cell's members against only the queries probing that cell, merges
+    to per-query top-(k+1) leaders per batch, and a final window merges
+    batches — the exchange shape of :func:`brute_force_topk_arrow` at
+    ~candidate-fraction of its FLOPs."""
+    import pandas as pd
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = _vec_matrix(pdf[vec_col])
+            c_norm = np.linalg.norm(cm, axis=1)
+            c_zero = c_norm == 0.0
+            cn = cm / np.where(c_zero, 1.0, c_norm)[:, None]
+            cells = assign_np(cm)
+            parts = []
+            for cell in np.unique(cells):
+                qidx = cell_queries.get(int(cell))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                member = cells == cell
+                sub_ids = ids[member]
+                scores = cn[member] @ qn[qidx].T  # (members, probing-qs)
+                scores[c_zero[member], :] = 0.0
+                scores[:, q_zero[qidx]] = 0.0
+                kk = min(k + 1, len(sub_ids))
+                top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+                n_q = scores.shape[1]
+                parts.append(
+                    (
+                        np.repeat(q_ids[qidx], kk),
+                        sub_ids[top.T.reshape(-1)],
+                        np.round(
+                            scores[
+                                top.T.reshape(-1), np.repeat(np.arange(n_q), kk)
+                            ],
+                            score_decimals,
+                        ),
+                    )
+                )
+            if not parts:
+                continue
+            # batch-level leader merge: without it the stage emits
+            # (k+1) rows per (cell, probing query) — with hundreds of
+            # cells per batch that is ~cells/Q times MORE exchange rows
+            # than brute force; merging to per-query top-(k+1) here
+            # caps emission at exactly the brute-force shape
+            q_all = np.concatenate([p[0] for p in parts])
+            n_all = np.concatenate([p[1] for p in parts])
+            s_all = np.concatenate([p[2] for p in parts])
+            order = np.lexsort((n_all, -s_all, q_all))
+            q_s, n_s, s_s = q_all[order], n_all[order], s_all[order]
+            starts = np.flatnonzero(np.r_[True, q_s[1:] != q_s[:-1]])
+            sizes = np.diff(np.r_[starts, len(q_s)])
+            rank = np.arange(len(q_s)) - np.repeat(starts, sizes)
+            keep = rank < (k + 1)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_s[keep],
+                    "neighbor_id": n_s[keep],
+                    "score": s_s[keep],
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def assign_cells_arrow(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row IVF cell assignment (one ``cell`` column) — the
+    instrumentation twin of the assignment inside
+    :func:`ivf_topk_arrow`; the bench uses it to report the exact
+    candidate fraction an index configuration probes."""
+    import pandas as pd
+
+    cents = np.array(centroids, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _vec_matrix(pdf[vec_col])
+            yield pd.DataFrame({"cell": _assign_cells_np(cm, cents).astype(np.int32)})
+
+    return corpus.select(vec_col).mapInPandas(assign, "cell int")
+
+
+def _sign_buckets_np(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane sign buckets for a matrix of vectors — one
+    matmul; bit i set iff projection onto plane i is >= 0 (the same
+    convention as :func:`bucket_col` / :func:`bucket_col_arrow`)."""
+    signs = (m @ planes.T) >= 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return signs @ weights
+
+
+def lsh_topk_probe_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_bits: int = 16,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH hot path for broadcastable query sets — the same
+    probe-restricted single-scan execution as :func:`ivf_topk_arrow`,
+    with random-hyperplane sign buckets as the cells.
+
+    The join-based :func:`lsh_topk`/:func:`lsh_topk_arrow` shuffle one
+    pair row PER CANDIDATE carrying both vectors — at a 2% candidate
+    fraction on a 400k × 8k-query workload that is ~10 GB of exchange;
+    here candidates never materialize as rows.  Each query probes its
+    own bucket plus every bucket at Hamming distance ≤ ``multiprobe``
+    (driver-side bit flips on the query buckets); the corpus scan
+    scores each bucket's members against the queries probing it.  Keep
+    the join-based variant for the non-broadcastable regime (huge query
+    sets, dedup self-joins)."""
+    planes = np.array(_projection_matrix(dim, num_bits, seed), dtype=np.float64)
+
+    q_ids, qm, q_zero, qn = _query_matrix(queries, id_col, vec_col)
+    qb = _sign_buckets_np(qm, planes)
+    probe_sets: dict[int, set[int]] = {}
+    for qi, b in enumerate(qb):
+        bs = {int(b)}
+        if multiprobe >= 1:
+            bs |= {int(b) ^ (1 << i) for i in range(num_bits)}
+        if multiprobe >= 2:
+            bs |= {
+                int(b) ^ (1 << i) ^ (1 << j)
+                for i in range(num_bits)
+                for j in range(i + 1, num_bits)
+            }
+        for bb in bs:
+            probe_sets.setdefault(bb, set()).add(qi)
+    cell_queries = {
+        b: np.fromiter(sorted(s), dtype=np.int64) for b, s in probe_sets.items()
+    }
+    return _probe_scan_topk(
+        corpus, k, id_col, vec_col, score_decimals,
+        q_ids, qn, q_zero,
+        lambda cm: _sign_buckets_np(cm, planes),
+        cell_queries,
+    )
+
+
 def cosine_arrow(a: Column, b: Column) -> Column:
     """Arrow-batched cosine twin of :func:`cosine` — row-wise numpy
     dot/norms over each Arrow batch instead of interpreted HOF folds
@@ -455,8 +731,8 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     def _cos(xs, ys):  # (pd.Series, pd.Series) -> pd.Series; hints
         # omitted — postponed annotations + local imports break pyspark's
         # hint-based eval-type inference, and "double" pins it anyway
-        xm = np.array([list(v) for v in xs], dtype=np.float64)
-        ym = np.array([list(v) for v in ys], dtype=np.float64)
+        xm = _vec_matrix(xs)
+        ym = _vec_matrix(ys)
         dots = np.einsum("ij,ij->i", xm, ym)
         denom = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
         out = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
@@ -487,36 +763,46 @@ def brute_force_topk_arrow(
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qm = _vec_matrix([r[1] for r in q_rows])
     q_norm = np.linalg.norm(qm, axis=1)
     q_zero = q_norm == 0.0
     qn = qm / np.where(q_zero, 1.0, q_norm)[:, None]
+
+    # chunk the query axis so the per-batch score matrix stays ~flat in
+    # memory (batch × Q doubles at Q=8k is 0.6 GB PER PYTHON WORKER —
+    # measured host-thrash at 32 workers); chunking changes no values,
+    # only allocation peaks
+    q_chunk = max(1, min(len(q_ids), 1024)) if len(q_ids) else 1
 
     def score_batches(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cm = _vec_matrix(pdf[vec_col])
             c_norm = np.linalg.norm(cm, axis=1)
             c_zero = c_norm == 0.0
             cn = cm / np.where(c_zero, 1.0, c_norm)[:, None]
-            scores = cn @ qn.T  # (batch, queries)
-            scores[c_zero, :] = 0.0  # spec: cosine=0 when a norm is 0
-            scores[:, q_zero] = 0.0
             kk = min(k + 1, len(ids))  # +1 survives self-match removal
-            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
-            n_q = scores.shape[1]
-            out_q = np.repeat(q_ids, kk)
-            out_n = ids[top.T.reshape(-1)]
-            out_s = scores[top.T.reshape(-1), np.repeat(np.arange(n_q), kk)]
-            yield pd.DataFrame(
-                {
-                    "query_id": out_q,
-                    "neighbor_id": out_n,
-                    "score": np.round(out_s, score_decimals),
-                }
-            )
+            for lo in range(0, len(q_ids), q_chunk):
+                sl = slice(lo, lo + q_chunk)
+                scores = cn @ qn[sl].T  # (batch, chunk)
+                scores[c_zero, :] = 0.0  # spec: cosine=0 when a norm is 0
+                scores[:, q_zero[sl]] = 0.0
+                top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+                n_q = scores.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids[sl], kk),
+                        "neighbor_id": ids[top.T.reshape(-1)],
+                        "score": np.round(
+                            scores[
+                                top.T.reshape(-1), np.repeat(np.arange(n_q), kk)
+                            ],
+                            score_decimals,
+                        ),
+                    }
+                )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
         score_batches, "query_id long, neighbor_id long, score double"

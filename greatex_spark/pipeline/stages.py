@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from greatex_spark.functions.heuristics import DEFAULT_THRESHOLDS, quality_struct
-from greatex_spark.functions.perplexity import log_perplexity_udf
+from greatex_spark.functions.perplexity import make_log_perplexity_udf
 from greatex_spark.functions.pii import scrub_pii
 from greatex_spark.functions.textstats import (
     bpe_token_count,
@@ -56,6 +56,14 @@ class PipelineConfig:
     # identities (GC-light hot path) vs gram strings (the exact spec the
     # DuckDB pipeline oracle replays) — equal up to 64-bit collisions
     hashed_ngrams: bool = True
+    # real-model seam: paths to a fastText .bin / KenLM .arpa swap the
+    # deterministic stand-ins for real models (lazily loaded once per
+    # executor; see functions/langid.py, functions/perplexity.py).  The
+    # loaders are injectable for tests / custom model formats.
+    langid_model: str | None = None
+    langid_loader: object = None
+    perplexity_model: str | None = None
+    perplexity_loader: object = None
     # gate: fraction of bronze rows that must survive the keep filter
     keep_fraction_band: tuple[float, float] = (0.25, 0.75)
     # salt-spread bronze on hash(url) at commit (crawl feeds arrive
@@ -73,6 +81,20 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
     columns.  CollapseProject keeps non-cheap producers referenced more
     than once in their own projection, so nothing is re-evaluated."""
     t = {**DEFAULT_THRESHOLDS, **config.gopher_thresholds}
+    # real-model seam: config paths swap the stand-ins for real
+    # fastText/KenLM scorers (same column contract, loaded lazily on
+    # the executors) — the heuristic/stand-in defaults stay the
+    # oracle-replayable spec path
+    ppl_udf = make_log_perplexity_udf(
+        config.perplexity_model, config.perplexity_loader
+    )
+    ext_lang = None
+    if config.langid_model is not None:
+        from greatex_spark.functions.langid import make_langid_udf
+
+        ext_lang = make_langid_udf(config.langid_model, config.langid_loader)(
+            F.col("text")
+        )["lang"]
     if config.arrow_features:
         # one Arrow crossing for heuristics + langid + token count
         from greatex_spark.functions.heuristics_arrow import page_signals_arrow
@@ -81,12 +103,14 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
         step1 = df.select(
             "*",
             sig.alias("__qs"),
-            log_perplexity_udf(F.col("text")).alias("log_ppl"),
+            ppl_udf(F.col("text")).alias("log_ppl"),
             scrub_pii("text").alias("text_scrubbed"),
             fingerprint64("text").alias("fingerprint"),
         ).withColumns(
             {
-                "lang_pred": F.col("__qs.lang_pred"),
+                "lang_pred": (
+                    ext_lang if ext_lang is not None else F.col("__qs.lang_pred")
+                ),
                 "n_tokens": F.col("__qs.n_bpe_tokens"),
             }
         )
@@ -94,8 +118,8 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
         step1 = df.select(
             "*",
             quality_struct(F.col("text"), hashed_ngrams=config.hashed_ngrams).alias("__qs"),
-            detect_lang("text").alias("lang_pred"),
-            log_perplexity_udf(F.col("text")).alias("log_ppl"),
+            (ext_lang if ext_lang is not None else detect_lang("text")).alias("lang_pred"),
+            ppl_udf(F.col("text")).alias("log_ppl"),
             scrub_pii("text").alias("text_scrubbed"),
             fingerprint64("text").alias("fingerprint"),
             bpe_token_count("text").alias("n_tokens"),
