@@ -680,6 +680,58 @@ def doc_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing any word-8-gram with
+    the pseudo-eval set (every 29th doc) are dropped — GPT-3-style
+    n-gram overlap hygiene, broadcast-benchmark design
+    (operators/decontaminate.py)."""
+    from greatex_spark.operators.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 29 == 0)
+    return decontaminate(docs, benchmark, n=8).select("doc_id", "source", "n_chars")
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: per-source keep fractions as
+    a pure hash-of-id predicate — identical survivors under any
+    partitioning or re-run (operators/sampling.py)."""
+    from greatex_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "source",
+        _STRATA_FRACTIONS,
+        id_col="doc_id",
+        default_fraction=0.1,
+    ).select("doc_id", "source", "n_chars")
+
+
+# training-mix weights for the sampling query/oracle (upsample "wiki"-
+# like src1, drop src2 entirely, thin the default web crawl)
+_STRATA_FRACTIONS = {"src1": 1.0, "src2": 0.0, "src3": 0.5, "src4": 0.25}
+
+
+def _doc_decontaminate_sql() -> str:
+    from greatex_spark.operators.decontaminate import decontaminate_duckdb_sql
+
+    return decontaminate_duckdb_sql("t.doc_id, t.source, t.n_chars")
+
+
+def _doc_stratified_sample_sql() -> str:
+    from greatex_spark.operators.sampling import stratified_sample_duckdb_sql
+
+    return stratified_sample_duckdb_sql(
+        "doc_id, source, n_chars",
+        "documents",
+        "source",
+        _STRATA_FRACTIONS,
+        id_col="doc_id",
+        default_fraction=0.1,
+    )
+
+
 def doc_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on consecutive doc pairs (the verification
     kernel of near-dup dedup, isolated so DuckDB can replay it)."""
@@ -997,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_dedup": doc_simhash_dedup,
         "doc_jaccard_dedup": doc_jaccard_dedup,
         "doc_pair_jaccard": doc_pair_jaccard,
+        "doc_decontaminate": doc_decontaminate,
+        "doc_stratified_sample": doc_stratified_sample,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1096,6 +1150,8 @@ QUALIFY row_number() OVER (
         "doc_simhash_dedup": simhash_dedup_duckdb_sql("t.doc_id, t.n_chars"),
         "doc_jaccard_dedup": ngram_jaccard_dedup_duckdb_sql("t.doc_id, t.n_chars"),
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
+        "doc_decontaminate": _doc_decontaminate_sql(),
+        "doc_stratified_sample": _doc_stratified_sample_sql(),
         "ann_brute_topk": _ann_brute_topk_sql(),
         "ann_lsh_topk": lsh_topk_duckdb_sql("vec_id < 8"),
         "emb_cosine_dedup": embedding_cosine_dedup_duckdb_sql(

@@ -616,6 +616,22 @@ def _norm_sql(text_col: str) -> str:
     return _DD_NORM.format(c=text_col)
 
 
+def shingles_select_sql(table: str, id_col: str, text_col: str, k: int) -> str:
+    """SELECT body producing ``({id_col}, h)`` where ``h`` is the
+    distinct md5-family word-k-shingle hash list — the DuckDB twin of
+    :func:`shingle_hashes` with ``family="md5"`` (shared by the minhash
+    oracle and the decontamination oracle)."""
+    words = f"string_split({_norm_sql(text_col)}, ' ')"
+    shingle = _compose_hash_sql([f"wh[i + {j}]" for j in range(k)])
+    return (
+        f"SELECT {id_col}, "
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(wh) - {k}, 0) + 2), i -> {shingle})) AS h "
+        f"FROM (SELECT {id_col}, "
+        f"list_transform({words}, w -> {md5_long_sql('w')}) AS wh FROM {table})"
+    )
+
+
 def _minhash_ctes_sql(
     table: str,
     id_col: str,
@@ -628,16 +644,7 @@ def _minhash_ctes_sql(
     (one row per band with the bucket hash) — the SQL twin of
     :func:`band_hashes` with ``family="md5"``."""
     r = num_perm // num_bands
-    k = shingle_k
-    words = f"string_split({_norm_sql(text_col)}, ' ')"
-    shingle = _compose_hash_sql([f"wh[i + {j}]" for j in range(k)])
-    sh = (
-        f"SELECT {id_col}, "
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len(wh) - {k}, 0) + 2), i -> {shingle})) AS h "
-        f"FROM (SELECT {id_col}, "
-        f"list_transform({words}, w -> {md5_long_sql('w')}) AS wh FROM {table})"
-    )
+    sh = shingles_select_sql(table, id_col, text_col, shingle_k)
     sig_elems = ", ".join(
         f"list_min(list_transform(h, x -> {_perm_sql('x', a, b)}))"
         for a, b in perm_constants(num_perm)

@@ -1,0 +1,84 @@
+"""Deterministic stratified sampling for training-data mixes.
+
+Corpus assembly weights sources differently (e.g. wikipedia × 3,
+common-crawl × 0.3).  ``df.sample()`` is seed-dependent on
+partitioning and not replayable row-for-row; here membership is a pure
+function of the row id — ``md5_long(id || ':' || salt) mod D < f·D`` —
+so the sample is identical under any partitioning, cluster layout, or
+re-run, and replays exactly in the DuckDB oracle (md5, not xxhash64,
+because DuckDB has no xxhash64).
+
+One scan, no shuffle: the stratum fraction lookup is a literal CASE
+chain (strata counts are small — sources, languages, buckets), and the
+filter is a plain predicate that pushes into the scan pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from greatex_spark.operators.dedup import md5_long, md5_long_sql
+
+DENOM = 1_000_000
+
+
+def _keep_threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {fraction}")
+    return int(round(fraction * DENOM))
+
+
+def sample_hash(id_col: Column, salt: int) -> Column:
+    """The sampling key: ``md5_long(id:salt) mod DENOM`` — uniform over
+    [0, DENOM), deterministic per (id, salt); different salts give
+    independent samples (e.g. train/heldout splits)."""
+    return F.pmod(
+        md5_long(F.concat(id_col.cast("string"), F.lit(f":{salt}"))), F.lit(DENOM)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: int = 42,
+) -> DataFrame:
+    """Keep each row iff its hash falls under its stratum's fraction.
+
+    Exact, replayable semantics (not approximate row counts): a stratum
+    with fraction f keeps the ~f·|stratum| rows whose ids hash lowest —
+    re-running, repartitioning, or growing OTHER strata never changes
+    which rows survive."""
+    thr: Column = F.lit(_keep_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_keep_threshold(frac))
+        ).otherwise(thr)
+    return df.where(sample_hash(F.col(id_col), salt) < thr)
+
+
+def stratified_sample_duckdb_sql(
+    select_cols: str,
+    table: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: int = 42,
+) -> str:
+    """Oracle for :func:`stratified_sample` — same md5 key, same CASE
+    thresholds (DuckDB's ``%`` on positive operands equals pmod)."""
+    key = md5_long_sql(f"({id_col}::VARCHAR || ':{salt}')")
+    whens = "\n    ".join(
+        f"WHEN '{v}' THEN {_keep_threshold(f)}"
+        for v, f in sorted(fractions.items())
+    )
+    return f"""
+SELECT {select_cols} FROM {table}
+WHERE ({key} % {DENOM}) < (CASE {strata_col}
+    {whens}
+    ELSE {_keep_threshold(default_fraction)} END)
+"""

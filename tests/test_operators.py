@@ -348,3 +348,51 @@ def test_multimodal_plumbing(spark):
     vids = media.where("kind = 'video'").count()
     assert len(frames) == vids * 4  # 3500ms / 1000ms → 4 samples (0,1,2,3s)
     assert all(len(r.frame) == 32 for r in frames)
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    from greatex_spark.operators.decontaminate import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    secret = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    clean = "completely different words about weather patterns in coastal regions today"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"prefix words here {secret} suffix words here"),  # contaminated
+            (1, clean),  # clean
+            (2, f"another doc quoting {secret} verbatim in the middle"),  # contaminated
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, f"eval question: {secret}?")], "doc_id long, text string"
+    )
+    bad = sorted(r.doc_id for r in contaminated_ids(corpus, benchmark, n=8).collect())
+    assert bad == [0, 2]
+    kept = sorted(r.doc_id for r in decontaminate(corpus, benchmark, n=8).collect())
+    assert kept == [1]
+
+
+def test_stratified_sample_semantics(spark):
+    from greatex_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    frac = {"a": 1.0, "b": 0.0, "c": 0.5}
+    out = stratified_sample(df, "source", frac, id_col="doc_id").cache()
+    by = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by.get("a") == 1000 and "b" not in by
+    assert 400 <= by.get("c", 0) <= 600  # ~0.5 of 1000, hash-uniform
+    # deterministic under repartitioning AND independent of other strata:
+    # dropping stratum b entirely must not change which c-rows survive
+    kept_c = {r.doc_id for r in out.where(F.col("source") == "c").collect()}
+    df2 = df.where(F.col("source") != "b").repartition(13)
+    kept_c2 = {
+        r.doc_id
+        for r in stratified_sample(df2, "source", frac, id_col="doc_id")
+        .where(F.col("source") == "c")
+        .collect()
+    }
+    assert kept_c == kept_c2
