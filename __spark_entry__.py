@@ -732,6 +732,171 @@ def _doc_stratified_sample_sql() -> str:
     )
 
 
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality score per document — the
+    curated-corpus resemblance signal of the GPT-3/CCNet quality
+    filter, as a pure Column expression (functions/classifier.py)."""
+    from greatex_spark.functions.classifier import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality_score"))
+
+
+def _doc_quality_score_sql() -> str:
+    from greatex_spark.functions.classifier import quality_score_duckdb_sql
+
+    return (
+        f"SELECT doc_id, {quality_score_duckdb_sql('text')} AS quality_score "
+        "FROM documents"
+    )
+
+
+# deterministic "dirty" URL variants for the canonicalization queries:
+# the bronze fixture's URLs are already clean, so both engines append
+# the same md5-selected noise (tracking params / fragments / case /
+# www. / trailing slash) before canonicalizing — exercising every
+# rewrite step of operators/urls.py with a replayable input.
+_URL_NOISE = (
+    "?utm_source=feed&utm_medium=rss",
+    "#section-2",
+    "?id=7&utm_campaign=x&gclid=abc",
+    "/",
+)
+
+
+def _dirty_url_col():
+    from greatex_spark.operators.dedup import md5_long
+
+    shout = F.regexp_replace(F.col("url"), r"^https://", "HTTPS://WWW.")
+    variant = (md5_long(F.col("url")) % F.lit(len(_URL_NOISE))).cast("int")
+    noise = F.array(*[F.lit(s) for s in _URL_NOISE])
+    return F.concat(shout, F.element_at(noise, variant + F.lit(1)))
+
+
+def _dirty_url_sql(url: str = "url") -> str:
+    from greatex_spark.operators.dedup import md5_long_sql
+
+    shout = f"regexp_replace({url}, '^https://', 'HTTPS://WWW.')"
+    cases = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_URL_NOISE)
+    )
+    return (
+        f"({shout} || CASE ({md5_long_sql(url)} % {len(_URL_NOISE)})::INT "
+        f"{cases} END)"
+    )
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host + registrable-domain extraction over
+    deterministically dirtied bronze-fixture URLs (operators/urls.py) —
+    pure projection, no shuffle."""
+    from greatex_spark.operators.urls import (
+        canonicalize_url,
+        host_of,
+        registered_domain,
+    )
+
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    return bronze.select(
+        F.col("url"),
+        _dirty_url_col().alias("dirty_url"),
+    ).select(
+        "url",
+        "dirty_url",
+        canonicalize_url("dirty_url").alias("canon_url"),
+        host_of(canonicalize_url("dirty_url")).alias("host"),
+        registered_domain(host_of(canonicalize_url("dirty_url"))).alias("domain"),
+    )
+
+
+def _url_canonicalize_sql() -> str:
+    import os
+
+    from greatex_spark.operators.urls import (
+        canonicalize_url_sql,
+        host_of_sql,
+        registered_domain_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    fixture = _bronze_fixture(sf_dir)
+    canon = canonicalize_url_sql("dirty_url")
+    host = host_of_sql(canon)
+    return f"""
+WITH __dirty AS (
+  SELECT url, {_dirty_url_sql('url')} AS dirty_url
+  FROM read_parquet('{fixture}/*.parquet'))
+SELECT url, dirty_url, {canon} AS canon_url, {host} AS host,
+       {registered_domain_sql(host)} AS domain
+FROM __dirty
+"""
+
+
+def url_dedup_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup + domain blocklist over a corpus where each
+    page appears as TWO different dirty fetches: dedup_by_url keeps one
+    survivor per canonical URL (min-string, one partial-agg shuffle),
+    then blocklisted registrable domains drop via a pushed-down
+    filter."""
+    from greatex_spark.operators.urls import dedup_by_url, filter_domains
+
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    fetches = bronze.select(
+        F.explode(
+            F.array(
+                _dirty_url_col(),
+                F.concat(F.col("url"), F.lit("#ref")),
+            )
+        ).alias("url")
+    )
+    survivors = dedup_by_url(fetches, "url")
+    return filter_domains(survivors, ["example.net"], "url")
+
+
+def _url_dedup_domains_sql() -> str:
+    import os
+
+    from greatex_spark.operators.urls import (
+        canonicalize_url_sql,
+        host_of_sql,
+        registered_domain_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    fixture = _bronze_fixture(sf_dir)
+    canon = canonicalize_url_sql("url")
+    dom = registered_domain_sql(host_of_sql(canon))
+    return f"""
+WITH __fetches AS (
+  SELECT {_dirty_url_sql('url')} AS url FROM read_parquet('{fixture}/*.parquet')
+  UNION ALL
+  SELECT url || '#ref' AS url FROM read_parquet('{fixture}/*.parquet')),
+__winners AS (
+  SELECT min(url) AS url FROM __fetches GROUP BY {canon})
+SELECT url FROM __winners WHERE {dom} <> 'example.net'
+"""
+
+
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup over the bronze fixture
+    (operators/linededup.py): boilerplate lines keep one copy in the
+    min-id document; documents re-assemble in line order."""
+    from greatex_spark.operators.linededup import dedup_lines
+
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    return dedup_lines(bronze.select("url", "text"), "text", "url")
+
+
+def _doc_line_dedup_sql() -> str:
+    import os
+
+    from greatex_spark.operators.linededup import dedup_lines_duckdb_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    fixture = _bronze_fixture(sf_dir)
+    return dedup_lines_duckdb_sql(f"read_parquet('{fixture}/*.parquet')")
+
+
 def doc_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on consecutive doc pairs (the verification
     kernel of near-dup dedup, isolated so DuckDB can replay it)."""
@@ -1051,6 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": doc_pair_jaccard,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_quality_score": doc_quality_score,
+        "doc_line_dedup": doc_line_dedup,
+        "url_canonicalize": url_canonicalize,
+        "url_dedup_domains": url_dedup_domains,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1152,6 +1321,10 @@ QUALIFY row_number() OVER (
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
         "doc_decontaminate": _doc_decontaminate_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),
+        "doc_quality_score": _doc_quality_score_sql(),
+        "doc_line_dedup": _doc_line_dedup_sql(),
+        "url_canonicalize": _url_canonicalize_sql(),
+        "url_dedup_domains": _url_dedup_domains_sql(),
         "ann_brute_topk": _ann_brute_topk_sql(),
         "ann_lsh_topk": lsh_topk_duckdb_sql("vec_id < 8"),
         "emb_cosine_dedup": embedding_cosine_dedup_duckdb_sql(
