@@ -75,6 +75,11 @@ class Checkpoint:
     # log_failure_action for the built-in logging notifier, or plug in
     # pager/email senders.
     on_failure: Callable[["ValidationResult"], None] | None = None
+    # StoreEvaluationParametersAction recast (SURVEY §2 D4): publish the
+    # run's observed metrics to the catalog parameter store so later
+    # gates can bound themselves with {"$PARAMETER": ...} kwargs — see
+    # greatex_spark.expectations.params.
+    store_evaluation_parameters: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -156,16 +161,42 @@ def run_checkpoint(
     epoch: int = 0,
     run_name: str | None = None,
     batch_identifier: str = "",
+    evaluation_parameters: dict | None = None,
 ) -> ValidationResult:
+    from greatex_spark.expectations.params import (
+        load_parameters,
+        resolve_suite,
+        store_parameters,
+        validation_parameters,
+    )
+
+    # D4: bind {"$PARAMETER": ...} kwargs — explicit mapping wins, else
+    # the latest committed values from the catalog parameter store
+    # (loaded only when the suite actually uses markers)
+    from greatex_spark.expectations.params import suite_has_markers
+
+    params = evaluation_parameters
+    if params is None and catalog is not None and suite_has_markers(checkpoint.suite):
+        params = load_parameters(spark, catalog)
+    suite = resolve_suite(checkpoint.suite, params)
     validation = run_suite(
         df,
-        checkpoint.suite,
+        suite,
         run_name=run_name,
         batch_identifier=batch_identifier or checkpoint.name,
         collect_partial_unexpected=checkpoint.collect_partial_unexpected,
     )
     if checkpoint.store_metrics and catalog is not None:
         store_metrics(spark, catalog, validation, epoch)
+    if checkpoint.store_evaluation_parameters and catalog is not None:
+        store_parameters(
+            spark,
+            catalog,
+            validation_parameters(validation),
+            suite_name=validation.suite_name,
+            run_name=run_name,
+            epoch=epoch,
+        )
     if not validation.success and checkpoint.on_failure is not None:
         checkpoint.on_failure(validation)
     if checkpoint.raise_on_failure and not validation.success:
