@@ -341,6 +341,86 @@ UNION ALL SELECT 'expect_column_mean_to_be_between', 'l_tax', -1.0,
 """
 
 
+def suite_param_bound_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation parameters (SURVEY §2 D4, the
+    StoreEvaluationParametersAction recast): a source suite over
+    ``orders`` publishes its observed metrics, and a downstream gate on
+    the open-status subset bounds itself with ``{"$PARAMETER": ...}``
+    kwargs resolved from them — the mechanism behind the reference's
+    hand-derived 250k-300k source vs 150k-250k warehouse row bands
+    (/root/reference/dags/scripts/python/retail_source.py:120,
+    retail_transform.py:133).  Output exposes the RESOLVED bounds so
+    the oracle verifies the parameter arithmetic, not just the final
+    booleans."""
+    from greatex_spark.expectations.params import (
+        resolve_suite,
+        validation_parameters,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    src_vr = run_suite(
+        orders,
+        Suite.of(
+            "orders_src",
+            E("expect_table_row_count_to_be_between", min_value=1, max_value=10**12),
+            E("expect_column_max_to_be_between", column="o_totalprice",
+              min_value=0.0, max_value=1e18),
+        ),
+        collect_partial_unexpected=False,
+    )
+    params = validation_parameters(src_vr)
+    dest = resolve_suite(
+        Suite.of(
+            "orders_open",
+            E("expect_table_row_count_to_be_between",
+              min_value={"$PARAMETER": "orders_src.element_count * 0.1"},
+              max_value={"$PARAMETER": "orders_src.element_count"}),
+            E("expect_column_max_to_be_between", column="o_totalprice",
+              min_value=0.0,
+              max_value={"$PARAMETER":
+                         "orders_src.expect_column_max_to_be_between"
+                         ".o_totalprice.observed_value"}),
+        ),
+        params,
+    )
+    vr = run_suite(
+        orders.where("o_orderstatus = 'O'"), dest, collect_partial_unexpected=False
+    )
+    rows = [
+        (
+            r.expectation_config["expectation_type"],
+            float(r.expectation_config["kwargs"]["min_value"]),
+            float(r.expectation_config["kwargs"]["max_value"]),
+            float(r.result["observed_value"]),
+            bool(r.success),
+        )
+        for r in vr.results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "expectation_name string, resolved_min double, resolved_max double, "
+        "observed double, success boolean",
+    )
+
+
+def _suite_param_bound_gate_sql() -> str:
+    return """
+WITH src AS (SELECT count(*) AS c, max(o_totalprice) AS mx FROM orders),
+     dst AS (SELECT count(*) AS c, max(o_totalprice) AS mx
+             FROM orders WHERE o_orderstatus = 'O')
+SELECT 'expect_table_row_count_to_be_between' AS expectation_name,
+       CAST(src.c * 0.1 AS DOUBLE) AS resolved_min,
+       CAST(src.c AS DOUBLE) AS resolved_max,
+       CAST(dst.c AS DOUBLE) AS observed,
+       CAST(dst.c AS DOUBLE) BETWEEN src.c * 0.1 AND src.c AS success
+FROM src, dst
+UNION ALL
+SELECT 'expect_column_max_to_be_between', 0.0, src.mx, dst.mx,
+       dst.mx BETWEEN 0.0 AND src.mx
+FROM src, dst
+"""
+
+
 def gopher_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher heuristic rules as a declarative suite over documents;
     one result row per rule."""
@@ -1201,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_orders_schema_gate": suite_orders_schema_gate,
         "suite_documents_gate": suite_documents_gate,
         "suite_lineitem_stats_gate": suite_lineitem_stats_gate,
+        "suite_param_bound_gate": suite_param_bound_gate,
         "gopher_gate_documents": gopher_gate_documents,
         "doc_text_stats": doc_text_stats,
         "doc_langid": doc_langid,
@@ -1295,6 +1376,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
         "suite_orders_schema_gate": _suite_orders_schema_gate_sql(),
         "suite_documents_gate": _suite_documents_gate_sql(),
         "suite_lineitem_stats_gate": _suite_lineitem_stats_gate_sql(),
+        "suite_param_bound_gate": _suite_param_bound_gate_sql(),
         "gopher_gate_documents": _gopher_gate_sql(),
         "doc_text_stats": _doc_text_stats_sql(),
         "doc_langid": (
