@@ -760,6 +760,29 @@ def doc_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: verified LSH+Jaccard pair edges
+    closed into connected components (path-doubling min-label
+    propagation, operators/cluster.py); one row per document with its
+    cluster id (min doc id of the component), size, and CC-survivor
+    flag.  Threshold 0.5 so chains A~B~C with dissimilar endpoints
+    exercise the transitive closure."""
+    from greatex_spark.operators.cluster import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_clusters(
+        docs, "text", "doc_id", n=3, threshold=0.5, family="md5"
+    )
+
+
+def _doc_dup_clusters_sql() -> str:
+    from greatex_spark.operators.cluster import duplicate_clusters_duckdb_sql
+
+    return duplicate_clusters_duckdb_sql(
+        "documents", "doc_id", "text", n=3, threshold=0.5
+    )
+
+
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: documents sharing any word-8-gram with
     the pseudo-eval set (every 29th doc) are dropped — GPT-3-style
@@ -1294,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dedup": doc_minhash_dedup,
         "doc_simhash_dedup": doc_simhash_dedup,
         "doc_jaccard_dedup": doc_jaccard_dedup,
+        "doc_dup_clusters": doc_dup_clusters,
         "doc_pair_jaccard": doc_pair_jaccard,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
@@ -1400,6 +1424,7 @@ QUALIFY row_number() OVER (
         "doc_minhash_dedup": minhash_lsh_dedup_duckdb_sql("t.doc_id, t.n_chars"),
         "doc_simhash_dedup": simhash_dedup_duckdb_sql("t.doc_id, t.n_chars"),
         "doc_jaccard_dedup": ngram_jaccard_dedup_duckdb_sql("t.doc_id, t.n_chars"),
+        "doc_dup_clusters": _doc_dup_clusters_sql(),
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
         "doc_decontaminate": _doc_decontaminate_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),

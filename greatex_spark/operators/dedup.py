@@ -575,6 +575,33 @@ def ngram_jaccard_dedup(
     id-pairs (few) then join the per-doc n-gram *hash set* table twice
     to verify; the gram-hash arrays are the only wide payload shuffled,
     and only once each."""
+    dropped = (
+        ngram_jaccard_pairs(
+            df, text_col, id_col, n, threshold, num_perm, num_bands, family,
+            candidate_cap,
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    num_bands: int = 8,
+    family: str = "md5",
+    candidate_cap: int | None = 64,
+) -> DataFrame:
+    """The verified near-duplicate EDGES of :func:`ngram_jaccard_dedup`:
+    ``(__ida, __idb)`` pairs (``__ida > __idb``) whose exact n-gram
+    Jaccard meets ``threshold`` among LSH band candidates.  The dedup
+    operator drops ``distinct __ida``; :func:`cluster.duplicate_clusters`
+    instead closes these edges transitively into duplicate clusters."""
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -594,16 +621,14 @@ def ngram_jaccard_dedup(
     inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("double")
     union = F.size(F.array_union(F.col("__ga"), F.col("__gb"))).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    dropped = (
+    return (
         pairs.join(grams.select(F.col("__gid"), F.col("__grams").alias("__ga")),
                    pairs.__ida == F.col("__gid")).drop("__gid")
         .join(grams.select(F.col("__gid"), F.col("__grams").alias("__gb")),
               F.col("__idb") == F.col("__gid")).drop("__gid")
         .where(jac >= threshold)
-        .select(F.col("__ida").alias(id_col))
-        .distinct()
+        .select("__ida", "__idb")
     )
-    return df.join(dropped, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -750,11 +775,34 @@ def ngram_jaccard_dedup_duckdb_sql(
     """Oracle for :func:`ngram_jaccard_dedup` (md5 family): LSH band
     candidates against bounded bucket representatives + exact jaccard
     on the n-gram hash sets."""
+    ctes = ngram_jaccard_pairs_duckdb_ctes(
+        table, id_col, text_col, n, threshold, num_perm, num_bands, candidate_cap
+    )
+    return f"""
+WITH {ctes},
+__dropped AS (SELECT DISTINCT ida AS did FROM __vpairs)
+SELECT {select_cols} FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT did FROM __dropped)
+"""
+
+
+def ngram_jaccard_pairs_duckdb_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    num_bands: int = 8,
+    candidate_cap: int | None = 64,
+) -> str:
+    """CTE block (for a ``WITH``) ending in ``__vpairs(ida, idb)`` — the
+    SQL twin of :func:`ngram_jaccard_pairs`; shared by the dedup oracle
+    and the duplicate-cluster oracle."""
     ctes = _minhash_ctes_sql(table, id_col, text_col, num_perm, num_bands, n)
     wf = f"list_filter(string_split({_norm_sql(text_col)}, ' '), w -> w != '')"
     gram = _compose_hash_sql([f"wh[i + {j}]" for j in range(n)])
-    return f"""
-WITH {ctes},
+    return f"""{ctes},
 __grams AS (
   SELECT {id_col} AS gid,
     list_distinct(list_transform(
@@ -766,15 +814,12 @@ __pairs AS (
   SELECT DISTINCT l.{id_col} AS ida, r.rid AS idb
   FROM __banded l JOIN __reps r
     ON l.bucket = r.bucket AND l.{id_col} > r.rid),
-__dropped AS (
-  SELECT DISTINCT p.ida AS did
+__vpairs AS (
+  SELECT p.ida, p.idb
   FROM __pairs p
   JOIN __grams a ON a.gid = p.ida
   JOIN __grams b ON b.gid = p.idb
   WHERE CASE WHEN len(list_distinct(list_concat(a.gh, b.gh))) > 0
         THEN CAST(len(list_intersect(a.gh, b.gh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.gh, b.gh)))
-        ELSE 0.0 END >= {threshold})
-SELECT {select_cols} FROM {table} t
-WHERE t.{id_col} NOT IN (SELECT did FROM __dropped)
-"""
+        ELSE 0.0 END >= {threshold})"""
