@@ -57,7 +57,10 @@ from greatex_spark.operators.ann import (
     lsh_topk_duckdb_sql,
 )
 from greatex_spark.operators.dedup import (
+    content_fingerprint_index,
     exact_dedup,
+    exact_dedup_incremental,
+    exact_dedup_incremental_duckdb_sql,
     minhash_lsh_dedup,
     minhash_lsh_dedup_duckdb_sql,
     ngram_jaccard,
@@ -816,6 +819,47 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRATA_FRACTIONS = {"src1": 1.0, "src2": 0.0, "src3": 0.5, "src4": 0.25}
 
 
+def doc_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-domain quota: cap each source at ~30 docs via the
+    hash-threshold rule (no window, no per-domain sort — the skew-free
+    quota of operators/sampling.py)."""
+    from greatex_spark.operators.sampling import domain_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_quota(docs, "source", cap=30).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _doc_domain_quota_sql() -> str:
+    from greatex_spark.operators.sampling import domain_quota_duckdb_sql
+
+    return domain_quota_duckdb_sql(
+        "t.doc_id, t.{d}, t.n_chars".format(d="source"), "documents", "source", cap=30
+    )
+
+
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the odd-id half of documents arrives as
+    a new batch and dedups against the committed fingerprint index of
+    the even-id half — the production mode where the 100 TB corpus is
+    never rescanned (operators/dedup.py exact_dedup_incremental)."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return exact_dedup_incremental(
+        batch, content_fingerprint_index(existing)
+    ).select("doc_id", "source", "n_chars")
+
+
+def _doc_incremental_dedup_sql() -> str:
+    return exact_dedup_incremental_duckdb_sql(
+        "t.doc_id, t.source, t.n_chars",
+        new_pred="doc_id % 2 = 1",
+        index_pred="doc_id % 2 = 0",
+    )
+
+
 def _doc_decontaminate_sql() -> str:
     from greatex_spark.operators.decontaminate import decontaminate_duckdb_sql
 
@@ -1321,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": doc_pair_jaccard,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_domain_quota": doc_domain_quota,
+        "doc_incremental_dedup": doc_incremental_dedup,
         "doc_quality_score": doc_quality_score,
         "doc_line_dedup": doc_line_dedup,
         "url_canonicalize": url_canonicalize,
@@ -1428,6 +1474,8 @@ QUALIFY row_number() OVER (
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
         "doc_decontaminate": _doc_decontaminate_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),
+        "doc_domain_quota": _doc_domain_quota_sql(),
+        "doc_incremental_dedup": _doc_incremental_dedup_sql(),
         "doc_quality_score": _doc_quality_score_sql(),
         "doc_line_dedup": _doc_line_dedup_sql(),
         "url_canonicalize": _url_canonicalize_sql(),

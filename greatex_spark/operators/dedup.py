@@ -195,6 +195,75 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def content_fingerprint_index(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The committed survivor index for incremental dedup: one
+    ``fingerprint`` (md5-family 60-bit hash of the normalized text) per
+    distinct content.  md5, not xxhash64, so the DuckDB oracle replays
+    it exactly; persist via ``Catalog.write_snapshot`` and grow it with
+    each batch's new fingerprints."""
+    return df.select(
+        md5_long(normalize_for_fingerprint(text_col)).alias("fingerprint")
+    ).distinct()
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-mode dedup: dedupe a NEW batch against the committed
+    corpus without rescanning it.  Keeps the lowest-id row per
+    fingerprint within the batch, then anti-joins the
+    :func:`content_fingerprint_index` of everything already ingested —
+    a 100 TB corpus is never re-read, only its (distinct-fingerprint)
+    index shuffles.  Fingerprints are uniform 60-bit hashes, so the
+    anti-join keys have no skew by construction; at steady state,
+    bucket the index on ``fingerprint`` (tables.write_bucketed) and the
+    exchange on the index side disappears."""
+    fp = md5_long(normalize_for_fingerprint(text_col)).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    batch_kept = (
+        new_df.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        batch_kept.join(
+            index, batch_kept["__fp"] == index["fingerprint"], "left_anti"
+        )
+        .drop("__fp")
+    )
+
+
+def exact_dedup_incremental_duckdb_sql(
+    select_cols: str,
+    new_pred: str,
+    index_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for :func:`exact_dedup_incremental` where both the new
+    batch and the already-ingested corpus are predicates over one
+    table (the driver-query fixture)."""
+    fp = md5_long_sql(_norm_sql(f"t.{text_col}"))
+    return f"""
+WITH __idx AS (
+  SELECT DISTINCT {md5_long_sql(_norm_sql(text_col))} AS fingerprint
+  FROM {table} WHERE {index_pred}),
+__batch AS (
+  SELECT t.*, {fp} AS fp,
+         row_number() OVER (PARTITION BY {fp} ORDER BY t.{id_col}) AS rn
+  FROM {table} t WHERE {new_pred})
+SELECT {select_cols} FROM __batch t
+WHERE t.rn = 1 AND t.fp NOT IN (SELECT fingerprint FROM __idx)
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash
 

@@ -82,3 +82,57 @@ WHERE ({key} % {DENOM}) < (CASE {strata_col}
     {whens}
     ELSE {_keep_threshold(default_fraction)} END)
 """
+
+
+def domain_quota(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: int = 7,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Cap each domain's contribution at ~``cap`` rows — the hot-domain
+    quota of web-corpus assembly (one boilerplate-heavy domain must not
+    dominate the training mix).
+
+    No window, no per-domain sort: a row survives iff its sampling hash
+    falls under ``cap / |domain|`` — i.e. ``hash(id) · n < cap · DENOM``
+    in exact long arithmetic (hash < 10^6, n ≤ 10^12 stays inside
+    int64).  Domains at or under the cap keep every row exactly; larger
+    domains keep Binomial(n, cap/n) ≈ cap ± √cap rows — an approximate
+    quota, but a deterministic, partitioning-independent, exactly
+    replayable one.  The alternative (row_number per domain) funnels
+    every hot domain through one reducer — precisely the skew this
+    operator exists to avoid.
+
+    Cost: one count aggregation (map-side combined; a hot domain
+    reduces to one row per partition before the exchange) + one join of
+    the corpus against the tiny (domain, n) table — broadcast by
+    default; pass ``broadcast_counts=False`` above ~10M domains and let
+    AQE plan the shuffle join."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    keep = sample_hash(F.col(id_col), salt) * F.col("__n") < F.lit(cap) * F.lit(DENOM)
+    return df.join(counts, on=domain_col).where(keep).drop("__n")
+
+
+def domain_quota_duckdb_sql(
+    select_cols: str,
+    table: str,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: int = 7,
+) -> str:
+    """Oracle for :func:`domain_quota` — same md5 key, same long
+    arithmetic."""
+    key = md5_long_sql(f"({id_col}::VARCHAR || ':{salt}')")
+    return f"""
+SELECT {select_cols}
+FROM {table} t
+JOIN (SELECT {domain_col}, count(*) AS n FROM {table} GROUP BY {domain_col}) c
+  USING ({domain_col})
+WHERE ({key} % {DENOM}) * c.n < {cap}::BIGINT * {DENOM}
+"""

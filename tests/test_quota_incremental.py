@@ -1,0 +1,72 @@
+"""Domain quota (hash-threshold cap, no window) and incremental exact
+dedup against a committed fingerprint index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from greatex_spark.operators.dedup import (
+    content_fingerprint_index,
+    exact_dedup_incremental,
+)
+from greatex_spark.operators.sampling import domain_quota
+
+
+def test_domain_quota_small_domains_untouched(spark):
+    rows = [(i, "a" if i < 5 else "b") for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_quota(df, "source", cap=10)
+    # domain a (5 rows) is under the cap: every row survives exactly
+    assert out.where("source = 'a'").count() == 5
+    # domain b (10 rows) is AT the cap: hash*n < cap*DENOM always holds
+    assert out.where("source = 'b'").count() == 10
+
+
+def test_domain_quota_caps_hot_domain(spark):
+    rows = [(i, "hot") for i in range(2000)] + [(10_000 + i, "cold") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_quota(df, "source", cap=100)
+    hot = out.where("source = 'hot'").count()
+    # Binomial(2000, 0.05): mean 100, sd ~9.7 — accept ±5 sd
+    assert 50 <= hot <= 150
+    assert out.where("source = 'cold'").count() == 20
+    # determinism: identical survivors on re-run
+    again = domain_quota(df, "source", cap=100)
+    assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0
+
+
+def test_incremental_dedup_drops_known_and_batch_dups(spark):
+    existing = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    idx = content_fingerprint_index(existing)
+    batch = spark.createDataFrame(
+        [
+            (10, "seen  BEFORE "),   # normalizes to a known fingerprint
+            (11, "brand new"),
+            (12, "brand new"),       # within-batch dup: lowest id wins
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup_incremental(batch, idx)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_incremental_matches_full_dedup_on_union(spark):
+    """Incremental over (existing, batch) keeps exactly the batch rows a
+    full-corpus exact dedup (md5 fingerprints) would keep."""
+    rows = [(i, f"text {i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    existing = df.where("doc_id < 10")
+    batch = df.where("doc_id >= 10")
+    inc = {r["doc_id"] for r in
+           exact_dedup_incremental(batch, content_fingerprint_index(existing)).collect()}
+    # every fingerprint 0..6 already exists in doc_ids 0..9 → nothing new
+    assert inc == set()
+    fresh = spark.createDataFrame([(50, "genuinely unseen")], "doc_id long, text string")
+    inc2 = exact_dedup_incremental(
+        batch.union(fresh), content_fingerprint_index(existing)
+    )
+    assert [r["doc_id"] for r in inc2.collect()] == [50]
