@@ -108,20 +108,28 @@ def hardware_cpu_scaling() -> dict:
     processes pinned to N cores, N=8 vs N=32.  On this VM plain
     arithmetic does NOT scale 4x from 8 to 32 cores (host-level
     contention) — no engine can beat this bound, so pipeline efficiency
-    is also reported normalized to it."""
+    is also reported normalized to it.  Best-of-3 per level: a single
+    pass is vulnerable to transient host load depressing ONE side of
+    the ratio (observed: an 8-core pass at 1/3 its true rate made
+    "efficiency" 1.75, physically impossible for independent pinned
+    processes); max ops/s is the least-contended, i.e. truest, ceiling."""
     out = {}
     for n in (8, 32):
-        t0 = time.perf_counter()
-        procs = []
-        for i in range(n):
-            cmd = [sys.executable, "-c", BUSY]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", str(i % 32)] + cmd
-            procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL))
-        for p in procs:
-            p.wait()
-        dt = time.perf_counter() - t0
-        out[n] = n * 30_000_000 / dt
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            procs = []
+            for i in range(n):
+                cmd = [sys.executable, "-c", BUSY]
+                if shutil.which("taskset"):
+                    cmd = ["taskset", "-c", str(i % 32)] + cmd
+                procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL))
+            for p in procs:
+                p.wait()
+            dt = time.perf_counter() - t0
+            best = max(best, n * 30_000_000 / dt)
+            time.sleep(1)
+        out[n] = best
     return {
         "ops_per_sec_8_cores": round(out[8] / 1e6, 1),
         "ops_per_sec_32_cores": round(out[32] / 1e6, 1),
