@@ -839,6 +839,28 @@ def _doc_domain_quota_sql() -> str:
     )
 
 
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: every document's (stream,
+    seq_id, seq_offset) in the training-sequence layout — one window
+    prefix-sum over uniform hash streams (operators/packing.py).
+    n_chars stands in for the token count."""
+    from greatex_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "n_chars", max_tokens=4096, num_streams=8
+    ).select("doc_id", "stream", "seq_id", "seq_offset")
+
+
+def _doc_pack_sequences_sql() -> str:
+    from greatex_spark.operators.packing import pack_sequences_duckdb_sql
+
+    return pack_sequences_duckdb_sql(
+        "t.doc_id, t.stream", "documents", "n_chars",
+        max_tokens=4096, num_streams=8,
+    )
+
+
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup: the odd-id half of documents arrives as
     a new batch and dedups against the committed fingerprint index of
@@ -1367,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_domain_quota": doc_domain_quota,
         "doc_incremental_dedup": doc_incremental_dedup,
+        "doc_pack_sequences": doc_pack_sequences,
         "doc_quality_score": doc_quality_score,
         "doc_line_dedup": doc_line_dedup,
         "url_canonicalize": url_canonicalize,
@@ -1476,6 +1499,7 @@ QUALIFY row_number() OVER (
         "doc_stratified_sample": _doc_stratified_sample_sql(),
         "doc_domain_quota": _doc_domain_quota_sql(),
         "doc_incremental_dedup": _doc_incremental_dedup_sql(),
+        "doc_pack_sequences": _doc_pack_sequences_sql(),
         "doc_quality_score": _doc_quality_score_sql(),
         "doc_line_dedup": _doc_line_dedup_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
