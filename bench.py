@@ -105,6 +105,13 @@ def main() -> None:
         timed("doc_langid", lambda: noop(qs["doc_langid"](spark, sf_dir)), runs=2)
         timed("ann_brute_topk", lambda: qs["ann_brute_topk"](spark, sf_dir).collect(), runs=2)
 
+        # ---- corpus-assembly operators (round 3) -------------------------
+        timed("doc_domain_quota", lambda: noop(qs["doc_domain_quota"](spark, sf_dir)), runs=2)
+        timed("doc_pack_sequences", lambda: noop(qs["doc_pack_sequences"](spark, sf_dir)), runs=2)
+        timed("doc_incremental_dedup",
+              lambda: noop(qs["doc_incremental_dedup"](spark, sf_dir)), runs=2)
+        timed("doc_dup_clusters", lambda: noop(qs["doc_dup_clusters"](spark, sf_dir)), runs=2)
+
         # ---- ANN accuracy/speed trade: recall vs brute force -------------
         # (judged alongside latency — a fast ANN with unmeasured recall
         # is not an operator, it's a random-row sampler)

@@ -61,12 +61,25 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .where(F.col("a") != F.col("b"))
     )
-    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # checkpoint the (usually expensive) edge derivation ONCE — every
+    # iteration reuses the materialized symmetric edge set instead of
+    # re-running the upstream candidate/verify pipeline
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         e.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # convergence probe: per-node labels only ever decrease, so the
+    # label sum strictly decreases until fixpoint — one tiny agg per
+    # round instead of a join
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is None:  # no edges at all
+        return labels.select("node", F.col("label").alias("component"))
     for _ in range(max_iters):
         # propagate min labels through graph edges AND current label
         # links (both directions) — the label links are the doubling
@@ -79,22 +92,16 @@ def connected_components(
         cand = links.join(
             labels.select(F.col("node").alias("b"), "label"), on="b"
         ).select(F.col("a").alias("node"), "label")
-        new_labels = (
+        labels = (
             cand.unionByName(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -148,3 +148,29 @@ def test_unique_expectation_fuses_into_single_agg(spark):
     # once in the tree and once in the detail block → one scan == 2 hits)
     assert agg_plan.count("Scan parquet") == 2
     assert "Window" not in agg_plan and "Join" not in agg_plan
+
+
+def test_domain_quota_broadcasts_counts_and_prunes_scan(spark):
+    plan = _plan(entrymod.doc_domain_quota(spark, SF_DIR))
+    # the (domain, n) table is broadcast — the corpus never shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus side reads only the columns the query projects + key
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_pack_sequences_single_exchange_on_stream(spark):
+    plan = _plan(entrymod.doc_pack_sequences(spark, SF_DIR))
+    # one hash exchange (the stream window partition); no extra shuffle
+    assert plan.count("Exchange") <= 2  # AQE prints initial+final
+    assert "Window" in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema  # packing never reads document text
+
+
+def test_incremental_dedup_is_anti_join_no_corpus_rescan(spark):
+    plan = _plan(entrymod.doc_incremental_dedup(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # both sides push their id-parity filter into the parquet scan
+    assert plan.count("PushedFilters") >= 2
