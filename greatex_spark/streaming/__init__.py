@@ -13,4 +13,7 @@ from greatex_spark.streaming.ingest import (  # noqa: F401
     gated_ingest,
     windowed_page_counts,
 )
-from greatex_spark.streaming.stateful import running_lang_stats  # noqa: F401
+from greatex_spark.streaming.stateful import (  # noqa: F401
+    running_lang_stats,
+    streaming_exact_dedup,
+)

@@ -51,3 +51,53 @@ def running_lang_stats(pages: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUTPUT_SCHEMA = "url string, text string, lang string"
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def _emit_first_seen(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        yield pd.DataFrame(columns=["url", "text", "lang"])
+        return
+    state.update((True,))
+    first = None
+    for pdf in pdfs:
+        cand = pdf.sort_values("url").iloc[:1]
+        if first is None or cand["url"].iloc[0] < first["url"].iloc[0]:
+            first = cand
+    yield first[["url", "text", "lang"]]
+
+
+def streaming_exact_dedup(pages: DataFrame) -> DataFrame:
+    """Exact dedup ACROSS micro-batches: the streaming counterpart of
+    ``operators.dedup.exact_dedup`` — the first page (lowest url) per
+    normalized-content fingerprint is emitted once, every later
+    duplicate in any later batch is dropped via a ``seen`` flag in
+    managed state.
+
+    Scale: state is one boolean per distinct fingerprint, sharded by
+    the state store across executors (RocksDB-backed on a cluster);
+    each micro-batch shuffles only its own rows by fingerprint.  This
+    is how continuous ingest stays deduped without ever re-reading the
+    committed corpus — the streaming twin of
+    ``exact_dedup_incremental``, with the state store playing the
+    fingerprint index."""
+    from pyspark.sql import functions as F
+
+    from greatex_spark.functions.textstats import normalize_for_fingerprint
+
+    keyed = pages.select(
+        F.xxhash64(normalize_for_fingerprint("text")).alias("fp"),
+        "url", "text", "lang",
+    )
+    return keyed.groupBy("fp").applyInPandasWithState(
+        _emit_first_seen,
+        DEDUP_OUTPUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

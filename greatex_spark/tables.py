@@ -106,6 +106,43 @@ class Catalog:
             raise FileNotFoundError(f"table {name!r} has no committed snapshots")
         return self.read_snapshot(spark, name, latest)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """Small-files compaction: rewrite the latest snapshot of
+        ``name`` as a NEW committed epoch with ~``target_file_bytes``
+        parquet files.  Streaming ingest and per-batch overwrites leave
+        many small files; small files turn a 100 TB scan into task-
+        scheduling overhead and kill parquet row-group locality.
+
+        Uses ``coalesce`` (narrow — no shuffle, each output file unions
+        whole input files) sized from the snapshot's actual on-disk
+        bytes.  The rewrite lands as ``latest+1`` via the same atomic
+        manifest flip as any write, so readers never see a partial
+        compaction and the pre-compaction epoch stays readable.
+        Returns the new epoch."""
+        latest = self.latest_epoch(name)
+        if latest is None:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshots")
+        snap = self._snapshot_dir(name, latest)
+        on_disk = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, files in os.walk(snap)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-on_disk // target_file_bytes))
+        new_epoch = latest + 1
+        self.write_snapshot(
+            self.read_snapshot(spark, name, latest).coalesce(n_files),
+            name,
+            new_epoch,
+        )
+        return new_epoch
+
 
 # ---------------------------------------------------------------------------
 # Bucketed (co-located) tables — the shuffle-elimination layout for keys
