@@ -819,6 +819,45 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRATA_FRACTIONS = {"src1": 1.0, "src2": 0.0, "src3": 0.5, "src4": 0.25}
 
 
+# demo blocklist for the toxicity query/oracle: terms that actually
+# occur in the synthetic corpus vocabulary, so matches/masking are
+# exercised for real — the mechanics are identical with the production
+# profanity list (functions/toxicity.py DEFAULT_BLOCKLIST or
+# load_blocklist(path))
+_TOX_DEMO_BLOCKLIST = ("slow", "spark", "batch")
+
+
+def doc_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toxicity blocklist signals + scrub (the toxicity half of the
+    north rule's PII/toxicity-scrub): per-doc match count, C4-style
+    clean flag, and the byte-exact masked text — one codegen'd regex
+    pass each (functions/toxicity.py)."""
+    from greatex_spark.functions.toxicity import scrub_toxicity, toxicity_count
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = toxicity_count("text", _TOX_DEMO_BLOCKLIST)
+    return docs.select(
+        "doc_id",
+        cnt.alias("tox_count"),
+        (cnt == 0).alias("is_clean"),
+        scrub_toxicity("text", _TOX_DEMO_BLOCKLIST).alias("text_scrubbed"),
+    )
+
+
+def _doc_toxicity_sql() -> str:
+    from greatex_spark.functions.toxicity import (
+        scrub_toxicity_duckdb_sql,
+        toxicity_count_duckdb_sql,
+    )
+
+    cnt = toxicity_count_duckdb_sql("text", _TOX_DEMO_BLOCKLIST)
+    return f"""
+SELECT doc_id, {cnt} AS tox_count, {cnt} = 0 AS is_clean,
+       {scrub_toxicity_duckdb_sql("text", _TOX_DEMO_BLOCKLIST)} AS text_scrubbed
+FROM documents
+"""
+
+
 def doc_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-domain quota: cap each source at ~30 docs via the
     hash-threshold rule (no window, no per-domain sort — the skew-free
@@ -1387,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": doc_pair_jaccard,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_toxicity": doc_toxicity,
         "doc_domain_quota": doc_domain_quota,
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_pack_sequences": doc_pack_sequences,
@@ -1497,6 +1537,7 @@ QUALIFY row_number() OVER (
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
         "doc_decontaminate": _doc_decontaminate_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),
+        "doc_toxicity": _doc_toxicity_sql(),
         "doc_domain_quota": _doc_domain_quota_sql(),
         "doc_incremental_dedup": _doc_incremental_dedup_sql(),
         "doc_pack_sequences": _doc_pack_sequences_sql(),

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from greatex_spark.functions.heuristics import DEFAULT_THRESHOLDS, quality_struct
@@ -66,6 +66,11 @@ class PipelineConfig:
     perplexity_loader: object = None
     # gate: fraction of bronze rows that must survive the keep filter
     keep_fraction_band: tuple[float, float] = (0.25, 0.75)
+    # toxicity scrub (north rule "PII/toxicity-scrub"): a word blocklist
+    # masks matches with <TOX> after the PII chain — None (default)
+    # keeps the scrub PII-only; pass functions.toxicity.DEFAULT_BLOCKLIST
+    # or load_blocklist(path) for the full external list
+    toxicity_blocklist: tuple[str, ...] | None = None
     # salt-spread bronze on hash(url) at commit (crawl feeds arrive
     # clustered by domain; hot domains make straggler partitions) —
     # costs one extra shuffle at ingest, so opt-in
@@ -81,6 +86,16 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
     columns.  CollapseProject keeps non-cheap producers referenced more
     than once in their own projection, so nothing is re-evaluated."""
     t = {**DEFAULT_THRESHOLDS, **config.gopher_thresholds}
+
+    def scrubbed() -> Column:
+        out = scrub_pii("text")
+        if config.toxicity_blocklist:
+            from greatex_spark.functions.toxicity import scrub_toxicity
+
+            # fixed order: PII first, then the blocklist over the
+            # already-masked text (both single codegen'd regex passes)
+            out = scrub_toxicity(out, config.toxicity_blocklist)
+        return out
     # real-model seam: config paths swap the stand-ins for real
     # fastText/KenLM scorers (same column contract, loaded lazily on
     # the executors) — the heuristic/stand-in defaults stay the
@@ -104,7 +119,7 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
             "*",
             sig.alias("__qs"),
             ppl_udf(F.col("text")).alias("log_ppl"),
-            scrub_pii("text").alias("text_scrubbed"),
+            scrubbed().alias("text_scrubbed"),
             fingerprint64("text").alias("fingerprint"),
         ).withColumns(
             {
@@ -120,7 +135,7 @@ def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:
             quality_struct(F.col("text"), hashed_ngrams=config.hashed_ngrams).alias("__qs"),
             (ext_lang if ext_lang is not None else detect_lang("text")).alias("lang_pred"),
             ppl_udf(F.col("text")).alias("log_ppl"),
-            scrub_pii("text").alias("text_scrubbed"),
+            scrubbed().alias("text_scrubbed"),
             fingerprint64("text").alias("fingerprint"),
             bpe_token_count("text").alias("n_tokens"),
         )
