@@ -292,6 +292,63 @@ def main() -> None:
         }
         xemb.unpersist()
 
+        # ---- embedding-dedup recall on planted near-duplicates ----------
+        # embedding_cosine_dedup's RETRIEVAL quality as a deduper (the
+        # ANN recall numbers above measure top-k search, not dedup):
+        # plant near-copies (deterministic ±1% per-coordinate noise,
+        # cosine ≈ 0.9998 ≫ threshold 0.98) under higher ids and report
+        # the fraction the operator removes, plus how many base rows it
+        # drops.  n_clusters=n gives every base vector its own random
+        # centroid — pairwise base cosines ≈ 0, so base drops measure
+        # FALSE merges, not genuine near-dups.
+        from greatex_spark.operators.ann import embedding_cosine_dedup  # noqa: PLC0415
+
+        dn, dstride = 50_000, 25
+        dbase = (
+            generate_clustered_embeddings(spark, dn, dim=64, n_clusters=dn)
+            .select("vec_id", "embedding")
+            .repartition(cores)
+            .cache()
+        )
+        planted = (
+            dbase.where(F.col("vec_id") % dstride == 0)
+            .select(
+                (F.col("vec_id") + dn).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + ((F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1000))
+                            - 500) / 500.0 * 0.01 * x)
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+        dcorpus = dbase.unionByName(planted).cache()
+        n_planted = dn // dstride
+        kept_ids: set = set()
+
+        def run_dedup():
+            kept_ids.clear()
+            kept_ids.update(
+                r.vec_id
+                for r in embedding_cosine_dedup(dcorpus, dim=64).select("vec_id").collect()
+            )
+
+        timed("emb_dedup_52k", run_dedup, runs=2)
+        planted_caught = n_planted - sum(1 for i in kept_ids if i >= dn)
+        base_dropped = dn - sum(1 for i in kept_ids if i < dn)
+        dedup_recall = {
+            "corpus_n": dn + n_planted,
+            "planted_dups": n_planted,
+            "planted_recall": round(planted_caught / n_planted, 4),
+            "base_rows_dropped": base_dropped,
+            "base_drop_fraction": round(base_dropped / dn, 5),
+            "threshold": 0.98,
+        }
+        dbase.unpersist()
+        dcorpus.unpersist()
+
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -306,6 +363,7 @@ def main() -> None:
                     "docs_per_sec": docs_per_sec,
                     "ann_recall": recalls,
                     "ann_crossover": ann_crossover,
+                    "emb_dedup_recall": dedup_recall,
                     "total_sec": total,
                     "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 }

