@@ -1,9 +1,25 @@
 from greatex_spark.operators.dedup import (  # noqa: F401
+    content_fingerprint_index,
     exact_dedup,
+    exact_dedup_incremental,
     minhash_lsh_dedup,
     minhash_signature,
     ngram_jaccard,
+    ngram_jaccard_pairs,
     simhash64,
     simhash_dedup,
 )
-from greatex_spark.operators.ann import brute_force_topk, lsh_topk  # noqa: F401
+from greatex_spark.operators.ann import (  # noqa: F401
+    brute_force_topk,
+    embedding_cosine_dedup,
+    lsh_topk,
+)
+from greatex_spark.operators.cluster import (  # noqa: F401
+    connected_components,
+    duplicate_clusters,
+)
+from greatex_spark.operators.packing import pack_sequences  # noqa: F401
+from greatex_spark.operators.sampling import (  # noqa: F401
+    domain_quota,
+    stratified_sample,
+)
