@@ -172,8 +172,10 @@ def run_pipeline(
     result.counts[GOLD] = result.validations["gold"].results[1].result.get(
         "element_count", result.counts[KEPT]
     )
-    # D5 recast: one markdown report per run next to the catalog
-    from greatex_spark.pipeline.report import write_run_report
+    # D5 recast: one markdown report per run next to the catalog, plus
+    # the HTML data-docs page + index (the reference's static site)
+    from greatex_spark.pipeline.report import write_data_docs, write_run_report
 
     write_run_report(catalog.root, run_name, epoch, result.validations, result.counts)
+    write_data_docs(catalog.root, run_name, epoch, result.validations, result.counts)
     return result

@@ -47,3 +47,32 @@ def test_runner_writes_report(spark, tmp_path):
     assert os.path.exists(report)
     body = open(report).read()
     assert "pages_source_suite" in body and str(res.epoch) in body
+
+
+def test_html_data_docs(spark, tmp_path):
+    from greatex_spark.pipeline.report import write_data_docs
+
+    good, bad = _vr(spark, True), _vr(spark, False)
+    page = write_data_docs(
+        str(tmp_path), "r9", 4, {"source": good, "gold": bad}, {"bronze": 2}
+    )
+    html = open(page).read()
+    assert html.startswith("<!DOCTYPE html>")
+    assert 'class="pass">PASS' in html and 'class="fail">FAIL' in html
+    assert "expect_column_values_to_not_be_null" in html
+    # index lists the page; a second run extends it
+    idx = os.path.join(str(tmp_path), "data_docs", "index.html")
+    assert "run-4-r9.html" in open(idx).read()
+    write_data_docs(str(tmp_path), "r9", 5, {"source": good})
+    assert open(idx).read().count("run-") >= 2
+
+
+def test_html_escapes_untrusted_values(spark):
+    from greatex_spark.pipeline.report import render_run_report_html
+
+    df = spark.createDataFrame([("<script>alert(1)</script>",), (None,)], "x string")
+    vr = run_suite(df, Suite.of("s", E("expect_column_values_to_not_be_null",
+                                       column="x")))
+    html = render_run_report_html("<r>", 1, {"g": vr})
+    assert "<script>" not in html
+    assert "&lt;r&gt;" in html
