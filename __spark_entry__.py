@@ -827,6 +827,42 @@ _STRATA_FRACTIONS = {"src1": 1.0, "src2": 0.0, "src3": 0.5, "src4": 0.25}
 _TOX_DEMO_BLOCKLIST = ("slow", "spark", "batch")
 
 
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (functions/html.py): both engines construct
+    the SAME html document around each text (script/style/comment
+    subtrees, tags, entities) and run the identical regexp chain, so the
+    oracle verifies extraction byte-for-byte."""
+    from greatex_spark.functions.html import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1 < 2;</script>"
+              "<style>p { color: red; }</style></head><body><p id=\"main\">"),
+        F.col("text"),
+        F.lit("</p><!-- footer &amp; notes --><div>&quot;end&quot;&nbsp;</div>"
+              "</body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("extracted")
+    )
+
+
+def _doc_html_extract_sql() -> str:
+    from greatex_spark.functions.html import html_to_text_duckdb_sql
+
+    html = (
+        "('<html><head><script>var x = 1 < 2;</script>"
+        "<style>p { color: red; }</style></head><body><p id=\"main\">'"
+        " || text || "
+        "'</p><!-- footer &amp; notes --><div>&quot;end&quot;&nbsp;</div>"
+        "</body></html>')"
+    )
+    return f"""
+SELECT doc_id, {html_to_text_duckdb_sql(html)} AS extracted
+FROM documents
+"""
+
+
 def doc_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Toxicity blocklist signals + scrub (the toxicity half of the
     north rule's PII/toxicity-scrub): per-doc match count, C4-style
@@ -1426,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": doc_pair_jaccard,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_html_extract": doc_html_extract,
         "doc_toxicity": doc_toxicity,
         "doc_domain_quota": doc_domain_quota,
         "doc_incremental_dedup": doc_incremental_dedup,
@@ -1537,6 +1574,7 @@ QUALIFY row_number() OVER (
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
         "doc_decontaminate": _doc_decontaminate_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),
+        "doc_html_extract": _doc_html_extract_sql(),
         "doc_toxicity": _doc_toxicity_sql(),
         "doc_domain_quota": _doc_domain_quota_sql(),
         "doc_incremental_dedup": _doc_incremental_dedup_sql(),
