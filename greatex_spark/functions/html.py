@@ -67,3 +67,14 @@ def html_to_text_duckdb_sql(col_expr: str) -> str:
         repl_sql = repl.replace("'", "''")
         out = f"regexp_replace({out}, '{pat_sql}', '{repl_sql}', 'g')"
     return f"trim({out})"
+
+
+def html_to_text_sparksql(col_expr: str) -> str:
+    """Spark-SQL expression string twin of :func:`html_to_text` (for
+    suite expressions; backslashes doubled for the SQL string parser)."""
+    out = col_expr
+    for pat, repl in HTML_STEPS:
+        p = pat.replace("\\", "\\\\").replace("'", "\\'")
+        r = repl.replace("\\", "\\\\").replace("'", "\\'")
+        out = f"regexp_replace({out}, '{p}', '{r}')"
+    return f"trim({out})"

@@ -119,6 +119,21 @@ def run_pipeline(
     else:
         if source_df is None:
             raise ValueError(f"epoch {epoch} has no committed bronze; source_df required")
+        if config.extract_from_html:
+            # crawl feeds with raw html only: derive text at ingest via
+            # the codegen'd regexp extraction (functions/html.py); rows
+            # that already carry text keep it
+            from pyspark.sql import functions as F
+
+            from greatex_spark.functions.html import html_to_text
+
+            source_df = source_df.withColumn(
+                "text",
+                F.coalesce(
+                    F.nullif(F.col("text"), F.lit("")),
+                    html_to_text(F.decode(F.col("html"), "UTF-8")),
+                ),
+            )
         if config.salted_bronze_layout:
             # crawl feeds arrive clustered by domain (hot domains →
             # straggler partitions); salt-spread on hash(url) before the
@@ -130,7 +145,12 @@ def run_pipeline(
         bronze = catalog.read_snapshot(spark, BRONZE, epoch)
         store_partition_lineage(spark, catalog, bronze, BRONZE, epoch, run_name)
     result.validations["source"] = run_checkpoint(
-        spark, bronze, Checkpoint("source", S.source_suite()), catalog, epoch,
+        spark, bronze,
+        Checkpoint(
+            "source",
+            S.source_suite(html_extracted=config.extract_from_html),
+        ),
+        catalog, epoch,
         run_name, f"{BRONZE}@{epoch}",
     )
     n_bronze = result.counts[BRONZE] = result.validations["source"].results[1].result[

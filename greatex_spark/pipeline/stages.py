@@ -75,6 +75,10 @@ class PipelineConfig:
     # clustered by domain; hot domains make straggler partitions) —
     # costs one extra shuffle at ingest, so opt-in
     salted_bronze_layout: bool = False
+    # derive text from raw html at bronze ingest (functions/html.py
+    # regexp extraction) for feeds that ship html only; rows that
+    # already carry text keep it — opt-in, default preserves input text
+    extract_from_html: bool = False
 
 
 def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:

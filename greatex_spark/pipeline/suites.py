@@ -16,8 +16,27 @@ PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 KNOWN_LANGS = ["en", "de", "fr", "es", "it", "pt", "zh", "und"]
 
 
-def source_suite(min_rows: int = 1, max_rows: int | None = None) -> Suite:
-    """Gate 1 — bronze (the reference's retail_source_suite recast)."""
+def source_suite(
+    min_rows: int = 1,
+    max_rows: int | None = None,
+    html_extracted: bool = False,
+) -> Suite:
+    """Gate 1 — bronze (the reference's retail_source_suite recast).
+
+    ``html_extracted=True`` swaps the extraction invariant: text must be
+    the regexp extraction of html (``PipelineConfig.extract_from_html``
+    ingest) instead of the synthetic fixture's byte-inverse wrapper."""
+    if html_extracted:
+        from greatex_spark.functions.html import html_to_text_sparksql
+
+        extraction_expr = (
+            html_to_text_sparksql("cast(html as string)") + " = text"
+        )
+    else:
+        extraction_expr = (
+            f"regexp_replace(regexp_replace(cast(html as string), "
+            f"'^{HTML_PRE}', ''), '{HTML_POST}$', '') = text"
+        )
     return Suite.of(
         "pages_source_suite",
         E("expect_table_columns_to_match_ordered_list", column_list=PAGE_COLUMNS),
@@ -30,13 +49,10 @@ def source_suite(min_rows: int = 1, max_rows: int | None = None) -> Suite:
         E("expect_column_values_to_be_in_set", column="lang", value_set=KNOWN_LANGS),
         E("expect_column_values_to_be_in_type_list", column="html",
           type_list=["binary"]),
-        # extraction invariant: decode(html) must reproduce text byte-for-byte
+        # extraction invariant: text must be reproducible from html
         E(
             "expect_values_to_satisfy_expression",
-            expression=(
-                f"regexp_replace(regexp_replace(cast(html as string), "
-                f"'^{HTML_PRE}', ''), '{HTML_POST}$', '') = text"
-            ),
+            expression=extraction_expr,
             value_expr="url",
         ),
     )

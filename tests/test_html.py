@@ -41,3 +41,34 @@ def test_extraction_semantics():
     assert html_to_text_py(CASES[5]) == "entities: &lt; <tag> \"q\" 's' x y"
     assert html_to_text_py(CASES[6]) == "kept"
     assert html_to_text_py(CASES[7]) == "multi line whitespace collapse"
+
+
+def test_pipeline_extracts_from_html_when_text_missing(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from greatex_spark.pages import generate_pages
+    from greatex_spark.pipeline.runner import run_pipeline
+    from greatex_spark.pipeline.stages import PipelineConfig
+    from greatex_spark.tables import Catalog
+
+    pages = generate_pages(spark, 60, seed=21).withColumn(
+        "text", F.lit("")  # feed ships html only
+    )
+    catalog = Catalog(str(tmp_path))
+    run_pipeline(
+        spark, catalog, 1, source_df=pages,
+        config=PipelineConfig(extract_from_html=True), run_name="hx",
+    )
+    bronze = catalog.read_latest(spark, "pages_bronze")
+    # text was derived from html for every row (wrapper markers gone)
+    assert bronze.where("text = '' OR text IS NULL").count() == 0
+    assert bronze.where("text LIKE '%<html>%'").count() == 0
+    # default config does NOT extract — and the source gate correctly
+    # rejects a feed whose text column contradicts its html
+    import pytest
+
+    from greatex_spark.expectations.compiler import GateFailed
+
+    catalog2 = Catalog(str(tmp_path / "c2"))
+    with pytest.raises(GateFailed):
+        run_pipeline(spark, catalog2, 1, source_df=pages, run_name="hx2")
