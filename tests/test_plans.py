@@ -174,3 +174,42 @@ def test_incremental_dedup_is_anti_join_no_corpus_rescan(spark):
     assert "LeftAnti" in plan
     # both sides push their id-parity filter into the parquet scan
     assert plan.count("PushedFilters") >= 2
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session enables AQE skew-join handling (session.py); prove it
+    actually fires: a join where one key holds half the left side gets
+    its straggler partition split (skew=true on the final SMJ)."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 200_000, 1).select(
+            F.col("id").alias("k"), F.lit("dim").alias("v")
+        )
+        joined = left.join(right, on="k")
+        # materialize THIS DataFrame's own plan (count() would finalize a
+        # different wrapping aggregate plan instead)
+        assert len(joined.collect()) > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
