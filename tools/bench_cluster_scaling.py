@@ -230,8 +230,10 @@ def main() -> None:
             subprocess.run(
                 [sys.executable, "-c", gen], check=True, capture_output=True, timeout=900
             )
-            low = run_level(bronze_path, 1, n_pages, btmp)
-            high = run_level(bronze_path, 4, n_pages, btmp)
+            levels = [
+                run_level(bronze_path, n, n_pages, btmp) for n in (1, 2, 4)
+            ]
+            low, mid, high = levels
     finally:
         stop(master)
 
@@ -245,7 +247,8 @@ def main() -> None:
                    "8-core JVM pinned to its own physical cores; package shipped "
                    "via spark.submit.pyFiles (spark-submit --py-files equivalent)",
         "input_pages": n_pages,
-        "levels": [low, high],
+        "levels": levels,
+        "speedup_1_to_2_executors": round(low["min_sec"] / mid["min_sec"], 3),
         "speedup_1_to_4_executors": round(speedup, 3),
         "scaling_efficiency_raw": round(eff, 3),
         "hardware_baseline": hw,
