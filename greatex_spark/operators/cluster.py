@@ -76,8 +76,12 @@ def connected_components(
     )
     # convergence probe: per-node labels only ever decrease, so the
     # label sum strictly decreases until fixpoint — one tiny agg per
-    # round instead of a join
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # round instead of a join.  DECIMAL(38,0) accumulator: int64 would
+    # overflow under ANSI mode with billions of 60-bit hash ids
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = label_sum(labels)
     if prev_sum is None:  # no edges at all
         return labels.select("node", F.col("label").alias("component"))
     for _ in range(max_iters):
@@ -98,7 +102,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = label_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -14,7 +14,7 @@ Layout rule (deterministic, partitioning-independent):
   same replayable key family as sampling/dedup);
 - within a stream, documents concatenate in ``id`` order; a document's
   ``stream_pos`` is the exclusive prefix sum of token counts;
-- ``seq_id = stream * 2^32 + stream_pos // max_tokens`` and
+- ``seq_id = stream * 2^44 + stream_pos // max_tokens`` and
   ``seq_offset = stream_pos mod max_tokens``.  A document may straddle
   a sequence boundary — exactly like the concatenate-then-chunk
   convention, where the chunker splits it across the two sequences.
@@ -40,7 +40,12 @@ from pyspark.sql import functions as F
 
 from greatex_spark.operators.dedup import md5_long, md5_long_sql
 
-_SEQ_STRIDE = 1 << 32
+# 2^44 local sequences per stream before ids could collide: at
+# max_tokens=2048 that is ~3.6e16 tokens per stream, far past the
+# 10^12-document design point (2^32 would overflow at ~10^13 tokens
+# per stream); stream count is bounded well under 2^19 so
+# stream * STRIDE stays inside int64
+_SEQ_STRIDE = 1 << 44
 
 
 def pack_sequences(
@@ -53,7 +58,7 @@ def pack_sequences(
 ) -> DataFrame:
     """Add ``stream``, ``seq_id``, ``seq_offset`` to every row (see
     module docstring for the layout rule).  ``seq_id`` is globally
-    unique across streams via a 2^32 stride."""
+    unique across streams via a 2^44 stride."""
     stream = F.pmod(
         md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
         F.lit(num_streams),

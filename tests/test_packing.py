@@ -33,7 +33,7 @@ def test_streams_are_independent_and_stride_separates_seq_ids(spark):
         .where("rn = 1")
     )
     assert firsts.where("seq_offset != 0").count() == 0
-    # seq_ids of different streams never collide (2^32 stride)
+    # seq_ids of different streams never collide (2^44 stride)
     pairs = out.select("stream", "seq_id").distinct()
     per_seq = pairs.groupBy("seq_id").count().where("count > 1").count()
     assert per_seq == 0
@@ -62,6 +62,6 @@ def test_no_token_slot_wasted_within_stream(spark):
     for prev, cur in zip(rows_, rows_[1:]):
         if prev["stream"] != cur["stream"]:
             continue
-        prev_abs = (prev["seq_id"] % (1 << 32)) * 128 + prev["seq_offset"]
-        cur_abs = (cur["seq_id"] % (1 << 32)) * 128 + cur["seq_offset"]
+        prev_abs = (prev["seq_id"] % (1 << 44)) * 128 + prev["seq_offset"]
+        cur_abs = (cur["seq_id"] % (1 << 44)) * 128 + cur["seq_offset"]
         assert cur_abs == prev_abs + prev["n_tokens"]
