@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime as _dt
 import uuid
 from dataclasses import dataclass, field
+from decimal import Decimal
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -293,14 +294,23 @@ def compile_suite(df: DataFrame, suite: Suite) -> tuple[list[Column], dict[int, 
             "expect_column_sum_to_be_between",
             "expect_column_stdev_to_be_between",
         ):
+            stat = t.split("_")[2]
             fn = {
                 "min": F.min,
                 "max": F.max,
                 "mean": F.avg,
                 "sum": F.sum,
                 "stdev": F.stddev_samp,  # sample stddev, like GE / SQL STDDEV
-            }[t.split("_")[2]]
-            metrics.append(fn(F.col(k["column"])).alias(f"e{i}_observed"))
+            }[stat]
+            col = F.col(k["column"])
+            if stat == "sum" and dict(df.dtypes).get(k["column"]) in (
+                "tinyint", "smallint", "int", "bigint"
+            ):
+                # int64 sum over ~10^12 rows overflows (job-killing under
+                # ANSI); accumulate exactly in DECIMAL(38,0) — finalize
+                # converts the Decimal back to an exact Python int
+                col = col.cast("decimal(38,0)")
+            metrics.append(fn(col).alias(f"e{i}_observed"))
             plan[i] = {"kind": "aggregate", "metric": f"e{i}_observed"}
         elif t == "expect_column_quantile_to_be_between":
             # exact interpolated percentile (SQL PERCENTILE_CONT semantics);
@@ -412,6 +422,8 @@ def run_suite(
                 res = {"observed_value": element_count}
             elif p["kind"] == "aggregate":
                 observed = agg_row[p["metric"]]
+                if isinstance(observed, Decimal):
+                    observed = int(observed)  # exact decimal(38,0) sum
                 success = _between_success(
                     observed, k.get("min_value"), k.get("max_value")
                 )

@@ -231,3 +231,20 @@ def test_exception_isolation(spark):
     assert not vr.results[0].success
     assert vr.results[0].exception_info["raised_exception"]
     assert vr.results[1].success
+
+
+def test_integer_sum_expectation_survives_int64_overflow(spark):
+    """expect_column_sum_to_be_between on a bigint column accumulates in
+    DECIMAL(38,0): a sum past int64 range must gate correctly, not die
+    with ARITHMETIC_OVERFLOW."""
+    from pyspark.sql import functions as F
+
+    big = 2**62
+    df = spark.range(4).select(F.lit(big).cast("bigint").alias("v"))
+    vr = run_suite(
+        df,
+        Suite.of("s", E("expect_column_sum_to_be_between", column="v",
+                        min_value=4 * big - 1, max_value=4 * big + 1)),
+    )
+    assert vr.success
+    assert vr.results[0].result["observed_value"] == 4 * big  # exact int
