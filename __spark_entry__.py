@@ -195,6 +195,23 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window
+    (operators/sessions.py) — per-user 30-minute-gap sessions with
+    start/end/count/value aggregates; the same expression runs in
+    Structured Streaming with a watermark."""
+    from greatex_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", "30 minutes", value_col="value")
+
+
+def _events_sessionize_sql() -> str:
+    from greatex_spark.operators.sessions import sessionize_duckdb_sql
+
+    return sessionize_duckdb_sql("events", "user_id", "ts", 1800, value_col="value")
+
+
 # ---------------------------------------------------------------------------
 # expectation gates (the engine's real "queries")
 
@@ -1440,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_supplier_nation_region": join_supplier_nation_region,
         "events_hourly_rollup": events_hourly_rollup,
         "events_top_users": events_top_users,
+        "events_sessionize": events_sessionize,
         "events_user_distinct_types": events_user_distinct_types,
         "elt_clean_project": elt_clean_project,
         "suite_orders_schema_gate": suite_orders_schema_gate,
@@ -1532,6 +1550,7 @@ ranked AS (
 SELECT event_type, user_id, CAST(rnk AS INT) AS rnk, total_value
 FROM ranked WHERE rnk <= 3
 """,
+        "events_sessionize": _events_sessionize_sql(),
         "events_user_distinct_types": """
 SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
 FROM events GROUP BY user_id
