@@ -23,3 +23,4 @@ from greatex_spark.operators.sampling import (  # noqa: F401
     domain_quota,
     stratified_sample,
 )
+from greatex_spark.operators.sessions import session_stats  # noqa: F401
