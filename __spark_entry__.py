@@ -212,6 +212,22 @@ def _events_sessionize_sql() -> str:
     return sessionize_duckdb_sql("events", "user_id", "ts", 1800, value_col="value")
 
 
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition counts (the funnel kernel):
+    per-event session ids by lag+cumsum (one Window stage — same
+    boundary rule as session_window) then consecutive-pair counting."""
+    from greatex_spark.operators.sessions import session_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return session_transitions(ev, gap_seconds=1800)
+
+
+def _events_session_funnel_sql() -> str:
+    from greatex_spark.operators.sessions import session_transitions_duckdb_sql
+
+    return session_transitions_duckdb_sql("events", gap_seconds=1800)
+
+
 # ---------------------------------------------------------------------------
 # expectation gates (the engine's real "queries")
 
@@ -1458,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "events_top_users": events_top_users,
         "events_sessionize": events_sessionize,
+        "events_session_funnel": events_session_funnel,
         "events_user_distinct_types": events_user_distinct_types,
         "elt_clean_project": elt_clean_project,
         "suite_orders_schema_gate": suite_orders_schema_gate,
@@ -1551,6 +1568,7 @@ SELECT event_type, user_id, CAST(rnk AS INT) AS rnk, total_value
 FROM ranked WHERE rnk <= 3
 """,
         "events_sessionize": _events_sessionize_sql(),
+        "events_session_funnel": _events_session_funnel_sql(),
         "events_user_distinct_types": """
 SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
 FROM events GROUP BY user_id

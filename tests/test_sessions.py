@@ -81,3 +81,43 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     }
     # the sentinel's own session stays open (watermark never passes it)
     assert set(out) == batch
+
+
+def test_with_session_id_matches_session_stats_boundaries(spark):
+    from greatex_spark.operators.sessions import with_session_id
+
+    df = _ev(spark, [(1, 0, 1), (1, 60, 2), (1, 121, 4), (1, 140, 8)]).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    got = {
+        (r["ts"], r["session_id"])
+        for r in with_session_id(df, gap_seconds=60).collect()
+    }
+    # exactly-gap merges (session 1), strictly-greater splits (session 2)
+    expect = {
+        (T0 + dt.timedelta(seconds=0), 1),
+        (T0 + dt.timedelta(seconds=60), 1),
+        (T0 + dt.timedelta(seconds=121), 2),
+        (T0 + dt.timedelta(seconds=140), 2),
+    }
+    assert got == expect
+
+
+def test_session_transitions_counts_within_session_only(spark):
+    from greatex_spark.operators.sessions import session_transitions
+
+    # user 1 session A: view->click->buy; long gap; session B: view->view
+    # the A->B boundary (buy->view) must NOT count as a transition
+    rows = [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "buy"),
+        (1, 9000, "view"), (1, 9010, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(u, i, T0 + dt.timedelta(seconds=s_), t) for i, (u, s_, t) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in session_transitions(df, gap_seconds=1800).collect()
+    }
+    assert got == {("view", "click"): 1, ("click", "buy"): 1, ("view", "view"): 1}
