@@ -860,6 +860,43 @@ _STRATA_FRACTIONS = {"src1": 1.0, "src2": 0.0, "src3": 0.5, "src4": 0.25}
 _TOX_DEMO_BLOCKLIST = ("slow", "spark", "batch")
 
 
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top-25 (vocabulary statistics for
+    tokenizer/mix decisions): normalized-word explode + count — the
+    canonical wordcount whose map-side partial aggregation is what
+    makes it viable over 10^12 documents; ties broken by token for a
+    deterministic ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "),
+                lambda w: w != "",
+            )
+        ).alias("token")
+    )
+    return (
+        words.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
+def _doc_top_tokens_sql() -> str:
+    return """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_filter(
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+    w -> w != '')) AS token
+  FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 25
+"""
+
+
 def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text extraction (functions/html.py): both engines construct
     the SAME html document around each text (script/style/comment
@@ -1497,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": doc_pair_jaccard,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_top_tokens": doc_top_tokens,
         "doc_html_extract": doc_html_extract,
         "doc_toxicity": doc_toxicity,
         "doc_domain_quota": doc_domain_quota,
@@ -1611,6 +1649,7 @@ QUALIFY row_number() OVER (
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
         "doc_decontaminate": _doc_decontaminate_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),
+        "doc_top_tokens": _doc_top_tokens_sql(),
         "doc_html_extract": _doc_html_extract_sql(),
         "doc_toxicity": _doc_toxicity_sql(),
         "doc_domain_quota": _doc_domain_quota_sql(),
