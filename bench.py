@@ -349,6 +349,75 @@ def main() -> None:
         dbase.unpersist()
         dcorpus.unpersist()
 
+        # ---- text-dedup recall on planted mutated near-duplicates -------
+        # the flagship MinHash family's quality as a FUZZY deduper: plant
+        # lightly-mutated copies (2% of words replaced deterministically —
+        # 5-shingle Jaccard ≈ 0.8, the near-dup regime) that must be
+        # caught, and heavily-mutated variants (35% replaced, Jaccard ≈
+        # 0.2) that must NOT be merged.  Exact dedup catches none of
+        # either (every fingerprint differs) — this is what LSH buys.
+        from greatex_spark.operators.dedup import minhash_lsh_dedup  # noqa: PLC0415
+
+        def mutate(src, rate_denom, tag):
+            words = F.filter(
+                F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                                r"\s+", " ")), " "),
+                lambda w: w != "",
+            )
+            mutated = F.transform(
+                words,
+                lambda w, i: F.when(
+                    F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(tag)),
+                           F.lit(rate_denom)) == 0,
+                    F.concat(F.lit("zz"), F.conv(
+                        F.abs(F.xxhash64(w, F.lit(tag))).cast("string"), 10, 36)),
+                ).otherwise(w),
+            )
+            return src.select(
+                (F.col("doc_id") + F.lit(100_000) * F.lit(tag)).alias("doc_id"),
+                F.array_join(mutated, " ").alias("text"),
+            )
+
+        tbase = (
+            generate_pages(spark, 20_000, seed=99)
+            .select(F.xxhash64("url").alias("doc_id"), "text")
+            .select(F.pmod(F.col("doc_id"), F.lit(50_000)).alias("doc_id"), "text")
+            .dropDuplicates(["doc_id"])
+            .repartition(cores)
+            .cache()
+        )
+        n_tbase = tbase.count()
+        src = tbase.where(F.col("doc_id") % 20 == 0)
+        near = mutate(src, 50, 1)    # ~2% of words → must be caught
+        far = mutate(src, 3, 2)      # ~35% of words → must survive
+        n_near, n_far = near.count(), far.count()
+        tcorpus = tbase.unionByName(near).unionByName(far).cache()
+        kept_t: set = set()
+
+        def run_text_dedup():
+            kept_t.clear()
+            kept_t.update(
+                r.doc_id
+                for r in minhash_lsh_dedup(tcorpus, family="xxhash64")
+                .select("doc_id").collect()
+            )
+
+        timed("text_dedup_22k", run_text_dedup, runs=2)
+        near_caught = n_near - sum(1 for i in kept_t if 100_000 <= i < 200_000)
+        far_dropped = n_far - sum(1 for i in kept_t if i >= 200_000)
+        base_dropped_t = n_tbase - sum(1 for i in kept_t if i < 100_000)
+        text_dedup_recall = {
+            "base_docs": n_tbase,
+            "planted_near_dups": n_near,
+            "near_dup_recall": round(near_caught / n_near, 4),
+            "far_variants": n_far,
+            "far_false_merge_fraction": round(far_dropped / n_far, 4),
+            "base_docs_dropped": base_dropped_t,
+            "mutation_rates": {"near": 0.02, "far": 0.33},
+        }
+        tbase.unpersist()
+        tcorpus.unpersist()
+
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -364,6 +433,7 @@ def main() -> None:
                     "ann_recall": recalls,
                     "ann_crossover": ann_crossover,
                     "emb_dedup_recall": dedup_recall,
+                    "text_dedup_recall": text_dedup_recall,
                     "total_sec": total,
                     "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 }

@@ -298,16 +298,20 @@ def shingle_hashes(text: Column | str, k: int = 5, family: str = "xxhash64") -> 
 
     words = F.split(normalize_for_fingerprint(c), " ")
     word_hash = (lambda w: md5_long(w)) if family == "md5" else (lambda w: F.xxhash64(w))
-
     def grams(wh: Column) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(wh) - k, F.lit(0)))
+        # try_element_at: a shingle window that runs past the word array
+        # (doc shorter than k words) reads NULL — _compose_hash folds
+        # NULLs as 0, exactly like the DuckDB twin's out-of-range list
+        # index.  Plain element_at is an ERROR under ANSI, which made
+        # short documents crash the whole dedup stage.
         if family == "md5":
             shingle = lambda i: _compose_hash(  # noqa: E731
-                [F.element_at(wh, i + j + 1) for j in range(k)]
+                [F.try_element_at(wh, i + j + 1) for j in range(k)]
             )
         else:
             shingle = lambda i: F.xxhash64(  # noqa: E731
-                *[F.element_at(wh, i + j + 1) for j in range(k)]
+                *[F.try_element_at(wh, i + j + 1) for j in range(k)]
             )
         return F.array_distinct(F.transform(idx, shingle))
 
@@ -609,13 +613,15 @@ def ngram_hash_set(text: Column | str, n: int = 3, family: str = "md5") -> Colum
 
     def grams(wh: Column) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(wh) - n, F.lit(0)))
+        # try_element_at, as in shingle_hashes: short (or fully-filtered)
+        # docs read NULL word hashes, folded as 0 like the SQL twin
         if family == "md5":
             gram = lambda i: _compose_hash(  # noqa: E731
-                [F.element_at(wh, i + j + 1) for j in range(n)]
+                [F.try_element_at(wh, i + j + 1) for j in range(n)]
             )
         else:
             gram = lambda i: F.xxhash64(  # noqa: E731
-                *[F.element_at(wh, i + j + 1) for j in range(n)]
+                *[F.try_element_at(wh, i + j + 1) for j in range(n)]
             )
         return F.array_distinct(F.transform(idx, gram))
 

@@ -396,3 +396,36 @@ def test_stratified_sample_semantics(spark):
         .collect()
     }
     assert kept_c == kept_c2
+
+
+def test_dedup_families_handle_short_documents(spark):
+    """Documents shorter than the shingle size (including empty and
+    fully-filtered texts) must dedup, not crash: try_element_at reads
+    NULL past the word array and _compose_hash folds it as 0, exactly
+    like the DuckDB twin's out-of-range list index (regression: plain
+    element_at is an ANSI-mode ERROR and killed the whole stage)."""
+    import duckdb
+
+    from greatex_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_lsh_dedup_duckdb_sql,
+        ngram_jaccard_dedup,
+    )
+
+    rows = [(1, ""), (2, "one"), (3, "two words"),
+            (4, "a b c d e f g h"), (5, "a b c d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("md5", "xxhash64"):
+        kept = sorted(r.doc_id for r in minhash_lsh_dedup(df, family=fam).collect())
+        assert kept == [1, 2, 3, 4], fam  # exact dup 5 dropped, shorts kept
+    assert ngram_jaccard_dedup(df, candidate_cap=None).count() == 4
+    # the md5 oracle replays the identical short-doc decisions
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in rows) + ") t(doc_id, text)"
+    )
+    duck = sorted(
+        r[0] for r in con.execute(minhash_lsh_dedup_duckdb_sql("t.doc_id")).fetchall()
+    )
+    assert duck == [1, 2, 3, 4]
