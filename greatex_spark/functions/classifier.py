@@ -92,8 +92,8 @@ def quality_score(
     w = _WEIGHTS if weights is None else weights
     c = F.col(col) if isinstance(col, str) else col
     wmap = F.map_from_arrays(
-        F.array(*[F.lit(int(b)) for b in w]),
-        F.array(*[F.lit(float(v)) for v in w.values()]),
+        F.lit([int(b) for b in w]),
+        F.lit([float(v) for v in w.values()]),
     )
 
     def score(tokens: Column) -> Column:

@@ -122,7 +122,7 @@ def quality_struct(text: Column, hashed_ngrams: bool = False) -> Column:
     hashed gram identities instead of gram strings — the hot-path
     variant used by the pipeline (values equal up to 64-bit hash
     collisions; the string variant remains the oracle-checked spec)."""
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_arr = F.lit(list(GOPHER_STOPWORDS))
     grams_of = _hashed_ngrams_col if hashed_ngrams else ngrams_col
 
     def build(words: Column, lines: Column) -> Column:

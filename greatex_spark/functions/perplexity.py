@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -99,9 +100,162 @@ def log_perplexity_py(text: str | None, max_chars: int = MAX_SCORED_CHARS) -> fl
     return round(-logp / n, 6) if n else None
 
 
+# ---------------------------------------------------------------------------
+# Vectorized batch scorer — the UDF hot path.
+#
+# The per-character Python loop above is the SPEC; the numpy path below
+# is the implementation the Arrow UDF actually runs, and it is
+# bit-identical by construction:
+#
+# - every distinct trigram's log-term is precomputed ONCE per Python
+#   worker into a dense float64 table indexed by (c0,c1,c2) alphabet
+#   ids, each entry produced by `math.log` over the exact argument the
+#   scalar path builds (characters outside the seed alphabet share id 0
+#   — all their counts are 0, so any two unknown characters are
+#   interchangeable in every term, exactly as in the dict lookups);
+# - the per-document fold is `np.cumsum` (= np.add.accumulate), a
+#   strictly sequential left-to-right IEEE-double accumulation — the
+#   same summation order as the Python loop and the DuckDB oracle's
+#   `list_reduce`, unlike np.sum's pairwise tree;
+# - the final `round(-logp/n, 6)` runs on Python scalars, same as the
+#   spec.
+#
+# The table build itself is vectorized: the A^3 interpolation arguments
+# are computed with numpy array arithmetic (identical operation order:
+# ((l3*p3 + l2*p2) + l1*p1) + l0/V, and exact-integer-valued float64
+# divisions are correctly rounded exactly like Python int/int), then
+# deduplicated with np.unique so `math.log` runs only once per distinct
+# argument (a few thousand, not A^3).
+
+_VEC_MODEL: tuple[np.ndarray, np.ndarray, int] | None = None
+
+
+def _vec_model() -> tuple[np.ndarray, np.ndarray, int]:
+    """(codepoint→alphabet-id lookup, trigram-id→log-term table, A)."""
+    global _VEC_MODEL
+    if _VEC_MODEL is not None:
+        return _VEC_MODEL
+    alphabet = sorted(_UNI.keys())
+    A = len(alphabet) + 1  # id 0 = any character outside the seed corpus
+    ids = {ch: i + 1 for i, ch in enumerate(alphabet)}
+    max_cp = max(ord(ch) for ch in alphabet)
+    cp_lookup = np.zeros(max_cp + 1, dtype=np.int32)
+    for ch, i in ids.items():
+        cp_lookup[ord(ch)] = i
+
+    uni = np.zeros(A, dtype=np.float64)
+    for ch, v in _UNI.items():
+        uni[ids[ch]] = v
+    bi = np.zeros(A * A, dtype=np.float64)
+    for bg, v in _BI.items():
+        bi[ids[bg[0]] * A + ids[bg[1]]] = v
+    tri = np.zeros(A * A * A, dtype=np.float64)
+    for tg, v in _TRI.items():
+        tri[(ids[tg[0]] * A + ids[tg[1]]) * A + ids[tg[2]]] = v
+
+    i0 = np.repeat(np.arange(A), A * A)
+    i1 = np.tile(np.repeat(np.arange(A), A), A)
+    i2 = np.tile(np.arange(A), A * A)
+    bi_prefix = bi[i0 * A + i1]
+    p3 = np.divide(tri, bi_prefix, out=np.zeros(A**3), where=bi_prefix > 0)
+    uni_mid = uni[i1]
+    p2 = np.divide(bi[i1 * A + i2], uni_mid, out=np.zeros(A**3), where=uni_mid > 0)
+    p1 = uni[i2] / _TOTAL
+    args = LAMBDAS[0] * p3 + LAMBDAS[1] * p2 + LAMBDAS[2] * p1 + (
+        LAMBDAS[3] / VOCAB_SIZE
+    )
+    uniq, inv = np.unique(args, return_inverse=True)
+    term = np.array([math.log(x) for x in uniq], dtype=np.float64)[inv]
+    _VEC_MODEL = (cp_lookup, term, A)
+    return _VEC_MODEL
+
+
+# Fixed scratch buffers reused across chunks, batches, and tasks: the
+# hot loop never allocates more than one ~2 MB codepoint buffer per
+# chunk, so steady-state throughput is immune to fresh-page allocation
+# stalls (this sandbox host intermittently faults new anonymous pages
+# at ~30 MB/s — a 400 MB whole-batch working set turned one Arrow batch
+# into tens of seconds; an 11 MB reused one never does).
+_CHUNK_CHARS = 1 << 19
+_SCRATCH: dict[str, np.ndarray] | None = None
+
+
+def _scratch() -> dict[str, np.ndarray]:
+    global _SCRATCH
+    if _SCRATCH is None:
+        n = _CHUNK_CHARS + MAX_SCORED_CHARS + 2
+        _SCRATCH = {
+            "min": np.empty(n, dtype=np.uint32),
+            "cids": np.empty(n, dtype=np.int32),
+            "tri": np.empty(n, dtype=np.int32),
+            "terms": np.empty(n, dtype=np.float64),
+            "fold": np.empty(MAX_SCORED_CHARS + 2, dtype=np.float64),
+        }
+    return _SCRATCH
+
+
+def _score_chunk(parts, idxs, out, cp_lookup, term, A, sc) -> None:
+    """Score one packed chunk of documents into ``out`` (in place)."""
+    cp = np.frombuffer("".join(parts).encode("utf-32-le"), dtype=np.uint32)
+    m = len(cp)
+    np.minimum(cp, len(cp_lookup) - 1, out=sc["min"][:m])
+    np.take(cp_lookup, sc["min"][:m], out=sc["cids"][:m])
+    cids = sc["cids"][:m]
+    # codepoints beyond the lookup table are unknown (id 0) — minimum()
+    # clipped them onto the last slot, which may be a real alphabet char
+    cids[cp >= len(cp_lookup)] = 0
+    # trigram ids for every window position; windows straddling a
+    # document boundary are computed but never read (the per-doc slices
+    # below stay inside each document's range)
+    tri = sc["tri"][: m - 2]
+    np.multiply(cids[:-2], A, out=tri)
+    np.add(tri, cids[1:-1], out=tri)
+    np.multiply(tri, A, out=tri)
+    np.add(tri, cids[2:], out=tri)
+    terms = sc["terms"][: m - 2]
+    np.take(term, tri, out=terms)
+    pos = 0
+    for j, s in zip(idxs, parts):
+        n = len(s) - 2
+        seg = terms[pos : pos + n]
+        # np.cumsum == np.add.accumulate: strictly sequential
+        # left-to-right IEEE fold, same order as the Python loop and the
+        # DuckDB list_reduce (np.sum's pairwise tree would NOT match)
+        logp = float(np.cumsum(seg, out=sc["fold"][:n])[-1])
+        out[j] = round(-logp / n, 6)
+        pos += len(s)
+
+
+def _score_batch(texts, max_chars: int = MAX_SCORED_CHARS) -> list[float | None]:
+    """Vectorized twin of mapping :func:`log_perplexity_py` over a batch
+    (parity-pinned by ``tests/test_functions.py``)."""
+    cp_lookup, term, A = _vec_model()
+    sc = _scratch()
+    out: list[float | None] = [None] * len(texts)
+    parts: list[str] = []
+    idxs: list[int] = []
+    pos = 0
+    for j, t in enumerate(texts):
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        s = str(t).lower()[:max_chars]
+        if len(s) < 3:
+            continue
+        s = f"  {s}"
+        if pos + len(s) > _CHUNK_CHARS and parts:
+            _score_chunk(parts, idxs, out, cp_lookup, term, A, sc)
+            parts, idxs, pos = [], [], 0
+        parts.append(s)
+        idxs.append(j)
+        pos += len(s)
+    if parts:
+        _score_chunk(parts, idxs, out, cp_lookup, term, A, sc)
+    return out
+
+
 @pandas_udf(T.DoubleType())
 def log_perplexity_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(log_perplexity_py)
+    return pd.Series(_score_batch(texts.tolist()), index=texts.index)
 
 
 def with_perplexity(

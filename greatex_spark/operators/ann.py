@@ -108,7 +108,10 @@ def bucket_col(vec: Column, dim: int, num_bits: int = 8, seed: int = 7) -> Colum
     planes = _projection_matrix(dim, num_bits, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        # one Literal array node per plane (not CreateArray of 64 Lits) —
+        # plan construction + analysis of the 16-plane tree drops from
+        # seconds to milliseconds; values identical
+        proj = dot(vec, F.lit([float(x) for x in plane]))
         bucket = bucket.bitwiseOR(
             F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
@@ -182,9 +185,17 @@ def _lsh_scored(
         # key = table*2^num_bits + bucket keeps one join column
         return [p + F.lit(t << num_bits).cast("long") for p in probes]
 
-    q = q_base.select(
+    # candidate generation shuffles IDS AND BUCKET KEYS ONLY — the
+    # exploded frames carry (id, bucket-long) pairs, never vectors, so
+    # the bucket join's shuffle width is two longs per probe row.  The
+    # same (query, neighbor) pair surfacing from several tables/probes
+    # is collapsed to ONE row *before* any cosine is computed; scoring
+    # then happens exactly once per distinct candidate pair (the
+    # pre-round-4 plan scored every duplicate match with the interpreted
+    # ``aggregate`` fold and distinct-ed afterwards, carrying both
+    # vectors through the shuffle — measurably slower at every scale)
+    q_keys = q_base.select(
         "query_id",
-        "__qv",
         F.explode(
             F.array(*[p for t in range(num_tables) for p in q_probes(t)])
         ).alias("__bucket"),
@@ -197,9 +208,8 @@ def _lsh_scored(
             for t in range(num_tables)
         ],
     )
-    c = c_base.select(
+    c_keys = c_base.select(
         "neighbor_id",
-        "__cv",
         F.explode(
             F.array(
                 *[
@@ -209,9 +219,28 @@ def _lsh_scored(
             )
         ).alias("__bucket"),
     )
-    scored = (
-        q.join(c, on="__bucket")
+    pairs = (
+        q_keys.join(c_keys, on="__bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    if num_tables > 1:
+        # the same pair can surface from several tables; score it once
+        pairs = pairs.distinct()
+    # rehydrate vectors: corpus vectors via one hash join keyed on
+    # neighbor_id (column pruning drops the bucket columns from this
+    # scan — the corpus is read twice, shuffled never); query vectors
+    # via broadcast, same small-side contract as brute_force_topk
+    return (
+        pairs.join(corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ), on="neighbor_id")
+        .join(
+            F.broadcast(queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            )),
+            on="query_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -220,11 +249,6 @@ def _lsh_scored(
             ),
         )
     )
-    if num_tables > 1:
-        # the same pair can surface from several tables; the top-k window
-        # must see it once
-        scored = scored.distinct()
-    return scored
 
 
 def _topk_of_scored(scored: DataFrame, k: int) -> DataFrame:
@@ -360,7 +384,9 @@ def _cell_structs(vec: Column, centroids: list[list[float]]) -> Column:
     """Sorted array of (squared-L2-distance, cell-index) structs from
     ``vec`` to every centroid — sequential IEEE fold per distance, so
     the DuckDB twin computes bit-identical values."""
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    # single nested Literal (256×64 floats would otherwise be ~16k
+    # CreateArray/Literal nodes — seconds of per-call analysis time)
+    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
     dists = F.transform(
         cent_arr,
         lambda c: F.aggregate(

@@ -99,7 +99,7 @@ def _vocab(lang: str) -> list[str]:
 def _salad(seed: int, basis: Column, lang: str, n_words: Column, salt: int) -> Column:
     """n words drawn from the language vocabulary by per-position hash."""
     vocab = _vocab(lang)
-    arr = F.array(*[F.lit(w) for w in vocab])
+    arr = F.lit(list(vocab))
     sep = "" if lang == "zh" else " "
     return F.array_join(
         F.transform(
@@ -129,7 +129,7 @@ def generate_pages(
     cls = _u(seed, pair_id, salt=99, modulus=20)
 
     # language: clean_other picks from OTHER_LANGS, everything else is en
-    other_lang = F.array(*[F.lit(x) for x in OTHER_LANGS])
+    other_lang = F.lit(list(OTHER_LANGS))
     lang = F.when(
         cls.isin(*CLEAN_OTHER),
         F.element_at(other_lang, (_u(seed, rid, salt=7, modulus=len(OTHER_LANGS)) + 1).cast("int")),
@@ -159,7 +159,7 @@ def generate_pages(
     rare_vocab = [w for w in _vocab("en") if w not in
                   ("the", "be", "to", "of", "and", "that", "have", "with",
                    "a", "it", "was", "is", "in", "for", "we", "you")]
-    rare_arr = F.array(*[F.lit(w) for w in rare_vocab])
+    rare_arr = F.lit(list(rare_vocab))
     no_stop_text = F.array_join(
         F.transform(
             F.sequence(F.lit(1), F.lit(90)),
@@ -183,7 +183,7 @@ def generate_pages(
         F.pmod(rid, F.lit(2)) == 1,
         F.concat(clean_en_text, F.lit(" Updated edition.")),
     ).otherwise(clean_en_text)
-    syl = F.array(*[F.lit(s) for s in GIBBERISH_SYLLABLES])
+    syl = F.lit(list(GIBBERISH_SYLLABLES))
     gib_word = lambda j: F.concat(  # noqa: E731
         F.element_at(syl, (F.pmod(_h(seed, rid, j, salt=31), F.lit(len(GIBBERISH_SYLLABLES))) + 1).cast("int")),
         F.element_at(syl, (F.pmod(_h(seed, rid, j, salt=37), F.lit(len(GIBBERISH_SYLLABLES))) + 1).cast("int")),

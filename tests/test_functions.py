@@ -162,6 +162,32 @@ def test_perplexity_udf_matches_reference_and_ranks_gibberish(spark):
     assert rows[2].log_ppl is None
 
 
+def test_perplexity_vectorized_batch_exactly_matches_scalar_spec():
+    """The numpy hot path (_score_batch) must reproduce the per-char
+    Python spec bit-for-bit: same trigram terms (math.log over identical
+    IEEE arguments), same sequential left-to-right fold (np.cumsum, not
+    pairwise np.sum), same final round — across edge cases (None, too
+    short, unknown alphabets, astral codepoints, lower()-expanding
+    chars, >512-char truncation) and across chunk boundaries."""
+    import random
+
+    from greatex_spark.functions.perplexity import _score_batch, log_perplexity_py
+
+    rng = random.Random(11)
+    vocab = ["the", "quick", "brown", "fox", "of", "data", "qualité", "中文", "x9!"]
+    texts = [
+        None, "", "ab", "abc", "   ", "İstanbul " * 100,
+        "\U0001F600" * 600, "a b" * 400, GOOD_DOC,
+        "xq zv jk qq wxp zzkt rj qqq vxz kjq wz xqz vv zzz",
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 300)))
+        for _ in range(400)
+    ]
+    got = _score_batch(texts)
+    want = [log_perplexity_py(t) for t in texts]
+    assert got == want
+
+
 def test_scrub_patterns_compile_everywhere():
     import re
 
