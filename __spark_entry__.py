@@ -1354,12 +1354,13 @@ def pipeline_pages_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold_projection(dedup(filter_kept(featurize(bronze, cfg)), cfg))
 
 
-def _pipeline_pages_gold_sql() -> str:
-    """DuckDB twin of :func:`pipeline_pages_gold` — the whole pipeline
-    composed from the per-stage SQL twins over the same bronze fixture:
-    gopher keep conjunction + heuristic langid + trigram perplexity
-    (MAP-literal model, identical IEEE fold) + PII scrub chain, then the
-    md5-family MinHash-LSH survivor rule, then the gold projection."""
+def _pipeline_sql_ctes(cfg: "PipelineConfig") -> str:
+    """Shared DuckDB WITH-clause body replaying the staged pipeline over
+    the committed bronze fixture (spec config: md5 family, string
+    grams): __bronze → __feat (all silver signals incl. the ``keep``
+    flag — SQL three-valued logic matches Spark's) → __kept →
+    MinHash-band CTEs → __reps (survivor urls).  Used by both the
+    ``pipeline_pages_gold`` oracle and the lineage-metrics oracle."""
     import os
 
     from greatex_spark.functions.heuristics import gopher_keep_duckdb_sql
@@ -1367,7 +1368,6 @@ def _pipeline_pages_gold_sql() -> str:
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     fixture = _bronze_fixture(sf_dir)
-    cfg = PipelineConfig()
     keep_q = gopher_keep_duckdb_sql("b.text", cfg.gopher_thresholds)
     lang_pred = detect_lang_duckdb_sql("b.text")
     scrubbed = scrub_pii_duckdb_sql("b.text")
@@ -1377,11 +1377,10 @@ def _pipeline_pages_gold_sql() -> str:
         "__kept", "url", "text",
         cfg.minhash_num_perm, cfg.minhash_num_bands, shingle_k=5,
     )
-    return f"""
-WITH __bronze AS MATERIALIZED (
-  SELECT url, warc_ts, text FROM read_parquet('{fixture}/*.parquet')),
+    return f"""__bronze AS MATERIALIZED (
+  SELECT url, warc_ts, html, text, lang FROM read_parquet('{fixture}/*.parquet')),
 __ppl AS MATERIALIZED ({ppl}),
-__feat AS (
+__feat_base AS (
   SELECT b.url, b.warc_ts, b.text,
          {keep_q} AS keep_quality,
          {lang_pred} AS lang_pred,
@@ -1389,27 +1388,58 @@ __feat AS (
          {scrubbed} AS text_scrubbed,
          len(regexp_extract_all(b.text, '{bpe}')) AS n_tokens
   FROM __bronze b JOIN __ppl p USING (url)),
+__feat AS MATERIALIZED (
+  SELECT *, keep_quality AND lang_pred = '{cfg.target_lang}'
+            AND log_ppl IS NOT NULL AND log_ppl <= {cfg.ppl_threshold} AS keep
+  FROM __feat_base),
 __kept AS MATERIALIZED (
-  SELECT * FROM __feat
-  WHERE keep_quality AND lang_pred = '{cfg.target_lang}'
-    AND log_ppl IS NOT NULL AND log_ppl <= {cfg.ppl_threshold}),
+  SELECT * FROM __feat WHERE keep),
 {minhash_ctes},
 __mins AS (
   SELECT band, bucket, min(url) AS bmin FROM __banded GROUP BY band, bucket),
 __reps AS (
-  SELECT bmin FROM __mins GROUP BY bmin HAVING count(*) = {cfg.minhash_num_bands})
-SELECT t.url, t.warc_ts, t.text_scrubbed AS text, t.lang_pred AS lang, t.n_tokens
-FROM __kept t JOIN __reps r ON t.url = r.bmin
+  SELECT bmin FROM __mins GROUP BY bmin HAVING count(*) = {cfg.minhash_num_bands}),
+__gold AS MATERIALIZED (
+  SELECT t.url, t.warc_ts, t.text_scrubbed AS text, t.lang_pred AS lang, t.n_tokens
+  FROM __kept t JOIN __reps r ON t.url = r.bmin)"""
+
+
+def _pipeline_pages_gold_sql() -> str:
+    """DuckDB twin of :func:`pipeline_pages_gold` — the whole pipeline
+    composed from the per-stage SQL twins over the same bronze fixture:
+    gopher keep conjunction + heuristic langid + trigram perplexity
+    (MAP-literal model, identical IEEE fold) + PII scrub chain, then the
+    md5-family MinHash-LSH survivor rule, then the gold projection."""
+    return f"""
+WITH {_pipeline_sql_ctes(PipelineConfig())}
+SELECT url, warc_ts, text, lang, n_tokens FROM __gold
 """
+
+
+def _lineage_config() -> "PipelineConfig":
+    """Spec config for the lineage-metrics oracle run: md5 dedup family
+    + string grams + native features (every stage SQL-replayable), and
+    a keep-fraction corridor that admits both committed fixtures (the
+    n1500 fixture keeps 23.3% — the default 25% floor is calibrated to
+    the larger corpora the pipeline actually runs on)."""
+    return PipelineConfig(
+        dedup_hash_family="md5",
+        arrow_features=False,
+        hashed_ngrams=False,
+        keep_fraction_band=(0.2, 0.8),
+    )
 
 
 def pipeline_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the fully staged, gated, resumable pipeline (bronze → silver
-    → kept → gold snapshots + checkpoint gates) on a generated corpus
-    and return the typed metrics table — the engine's recast of the
-    reference's JSON validations store + shredding trigger
+    → kept → gold snapshots + checkpoint gates) on the committed bronze
+    fixture and return the typed metrics table — the engine's recast of
+    the reference's JSON validations store + shredding trigger
     (/root/reference/database-setup/storedb.sql:10-75).  Deterministic
-    columns only (timestamps/run names vary per run)."""
+    columns only (run names and timestamps are run-scoped and
+    excluded); the DuckDB twin replays every per-expectation
+    element/unexpected count and gate outcome from the same fixture via
+    the shared stage CTEs."""
     import tempfile
 
     from greatex_spark.pipeline.runner import run_pipeline
@@ -1418,8 +1448,11 @@ def pipeline_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="greatex_lineage_")
     catalog = Catalog(tmp)
-    pages = generate_pages(spark, 600, seed=42).localCheckpoint()
-    run_pipeline(spark, catalog, epoch=1, source_df=pages, run_name="oracle-run")
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    run_pipeline(
+        spark, catalog, epoch=1, source_df=bronze,
+        config=_lineage_config(), run_name="oracle-run",
+    )
     metrics = catalog.read_latest(spark, METRICS_TABLE)
     return metrics.select(
         "expectation_suite_name",
@@ -1429,8 +1462,182 @@ def pipeline_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_count",
         "unexpected_count",
         "success",
+        "success_percent",
+        "evaluated_expectations",
         "checkpoint_epoch",
     )
+
+
+def _pipeline_lineage_metrics_sql() -> str:
+    """DuckDB twin of :func:`pipeline_lineage_metrics`: one row per
+    expectation across the four gates, with element_count /
+    unexpected_count / success computed from the SAME staged CTEs the
+    gold oracle replays (never hard-coded where data-dependent) and the
+    engine's exact result semantics:
+
+    - row-level + fused-unique rows carry element_count = stage row
+      count; schema / row-count / aggregate rows carry 0 (the compiler
+      only emits element_count for row-level kinds —
+      ``expectations/compiler.py`` ``run_suite``);
+    - success for a row-level expectation is
+      ``100*ux/ec <= (1-mostly)*100`` with IEEE-double arithmetic
+      identical to the Python finalizer;
+    - suite-level success_percent / evaluated_expectations are window
+      aggregates over the suite's rows, like ``ValidationResult
+      .statistics``.
+    """
+    from greatex_spark.functions.pii import PII_PATTERNS
+    from greatex_spark.pages import HTML_POST, HTML_PRE
+    from greatex_spark.pipeline.suites import KNOWN_LANGS
+
+    cfg = _lineage_config()
+    ctes = _pipeline_sql_ctes(cfg)
+    langs = ", ".join(f"'{x}'" for x in KNOWN_LANGS)
+    extraction = (
+        f"regexp_replace(regexp_replace(decode(html), '^{HTML_PRE}', ''), "
+        f"'{HTML_POST}$', '') = text"
+    )
+    lo = f"CAST(trunc((SELECT n FROM __src) * {cfg.keep_fraction_band[0]}) AS BIGINT)"
+    hi = f"CAST(trunc((SELECT n FROM __src) * {cfg.keep_fraction_band[1]}) AS BIGINT)"
+
+    def row_ok(ux: str, ec: str, mostly: float = 1.0) -> str:
+        return f"(100.0 * ({ux}) / ({ec})) <= (1.0 - {mostly!r}) * 100.0"
+
+    pii_rows = ",\n".join(
+        f"""  ('pages_gold_suite', 'expect_column_values_to_not_match_regex', 'text',
+   'pages_gold@1', (SELECT n FROM __kgold), (SELECT pii_{name} FROM __kgold),
+   (SELECT {row_ok(f'pii_{name}', 'n')} FROM __kgold))""" for name, _, _ in PII_PATTERNS
+    )
+    pii_counts = ",\n".join(
+        f"""    count(*) FILTER (WHERE regexp_matches(text, '{pat.replace("'", "''")}')
+      AND text IS NOT NULL) AS pii_{name}""" for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH {ctes},
+__src AS (
+  SELECT count(*) AS n,
+    count(*) FILTER (WHERE url IS NULL) AS url_nulls,
+    greatest(0, count(url) - count(DISTINCT url)) AS url_dups,
+    count(*) FILTER (WHERE NOT regexp_matches(url, '^https?://') AND url IS NOT NULL)
+      AS url_bad,
+    count(*) FILTER (WHERE warc_ts IS NULL) AS ts_nulls,
+    count(*) FILTER (WHERE text IS NULL) AS text_nulls,
+    count(*) FILTER (WHERE lang NOT IN ({langs}) AND lang IS NOT NULL) AS lang_bad,
+    count(*) FILTER (WHERE NOT coalesce({extraction}, FALSE)) AS extract_bad
+  FROM __bronze),
+__sil AS (
+  SELECT count(*) AS n,
+    count(*) FILTER (WHERE keep IS NULL) AS keep_nulls,
+    count(*) FILTER (WHERE lang_pred IS NULL) AS lp_nulls,
+    count(*) FILTER (WHERE log_ppl IS NULL) AS ppl_nulls,
+    count(*) FILTER (WHERE (log_ppl < 0.0 OR log_ppl > 50.0) AND log_ppl IS NOT NULL)
+      AS ppl_oob,
+    count(*) FILTER (WHERE text_scrubbed IS NULL) AS scrub_nulls,
+    count(*) FILTER (WHERE (n_tokens < 0 OR n_tokens > 10000000)
+      AND n_tokens IS NOT NULL) AS tok_oob,
+    count(*) FILTER (WHERE lang_pred NOT IN ({langs}) AND lang_pred IS NOT NULL)
+      AS lp_bad
+  FROM __feat),
+__kgold AS (
+  SELECT count(*) AS n,
+    count(*) FILTER (WHERE url IS NULL) AS url_nulls,
+    greatest(0, count(url) - count(DISTINCT url)) AS url_dups,
+    count(*) FILTER (WHERE lang <> 'en' AND lang IS NOT NULL) AS lang_bad,
+    count(*) FILTER (WHERE text IS NULL) AS text_nulls,
+    count(*) FILTER (WHERE (length(text) < 1 OR length(text) > 10000000)
+      AND text IS NOT NULL) AS len_oob,
+{pii_counts}
+  FROM __gold),
+__rows(suite, name, col, batch, ec, ux, ok) AS (
+  SELECT * FROM (VALUES
+  ('pages_source_suite', 'expect_table_columns_to_match_ordered_list', '',
+   'pages_bronze@1', 0, 0, TRUE),
+  ('pages_source_suite', 'expect_table_row_count_to_be_between', '',
+   'pages_bronze@1', 0, 0, (SELECT n FROM __src) >= 1),
+  ('pages_source_suite', 'expect_column_values_to_not_be_null', 'url',
+   'pages_bronze@1', (SELECT n FROM __src), (SELECT url_nulls FROM __src),
+   (SELECT {row_ok('url_nulls', 'n')} FROM __src)),
+  ('pages_source_suite', 'expect_column_values_to_be_unique', 'url',
+   'pages_bronze@1', (SELECT n FROM __src), (SELECT url_dups FROM __src),
+   (SELECT {row_ok('url_dups', 'n')} FROM __src)),
+  ('pages_source_suite', 'expect_column_values_to_match_regex', 'url',
+   'pages_bronze@1', (SELECT n FROM __src), (SELECT url_bad FROM __src),
+   (SELECT {row_ok('url_bad', 'n')} FROM __src)),
+  ('pages_source_suite', 'expect_column_values_to_not_be_null', 'warc_ts',
+   'pages_bronze@1', (SELECT n FROM __src), (SELECT ts_nulls FROM __src),
+   (SELECT {row_ok('ts_nulls', 'n')} FROM __src)),
+  ('pages_source_suite', 'expect_column_values_to_not_be_null', 'text',
+   'pages_bronze@1', (SELECT n FROM __src), (SELECT text_nulls FROM __src),
+   (SELECT {row_ok('text_nulls', 'n', 0.999)} FROM __src)),
+  ('pages_source_suite', 'expect_column_values_to_be_in_set', 'lang',
+   'pages_bronze@1', (SELECT n FROM __src), (SELECT lang_bad FROM __src),
+   (SELECT {row_ok('lang_bad', 'n')} FROM __src)),
+  ('pages_source_suite', 'expect_column_values_to_be_in_type_list', 'html',
+   'pages_bronze@1', 0, 0, TRUE),
+  ('pages_source_suite', 'expect_values_to_satisfy_expression', '',
+   'pages_bronze@1', (SELECT n FROM __src), (SELECT extract_bad FROM __src),
+   (SELECT {row_ok('extract_bad', 'n')} FROM __src)),
+
+  ('pages_silver_suite', 'expect_column_values_to_not_be_null', 'keep',
+   'pages_silver@1', (SELECT n FROM __sil), (SELECT keep_nulls FROM __sil),
+   (SELECT {row_ok('keep_nulls', 'n')} FROM __sil)),
+  ('pages_silver_suite', 'expect_column_values_to_not_be_null', 'lang_pred',
+   'pages_silver@1', (SELECT n FROM __sil), (SELECT lp_nulls FROM __sil),
+   (SELECT {row_ok('lp_nulls', 'n')} FROM __sil)),
+  ('pages_silver_suite', 'expect_column_values_to_not_be_null', 'log_ppl',
+   'pages_silver@1', (SELECT n FROM __sil), (SELECT ppl_nulls FROM __sil),
+   (SELECT {row_ok('ppl_nulls', 'n', 0.95)} FROM __sil)),
+  ('pages_silver_suite', 'expect_column_values_to_be_between', 'log_ppl',
+   'pages_silver@1', (SELECT n FROM __sil), (SELECT ppl_oob FROM __sil),
+   (SELECT {row_ok('ppl_oob', 'n')} FROM __sil)),
+  ('pages_silver_suite', 'expect_column_values_to_not_be_null', 'text_scrubbed',
+   'pages_silver@1', (SELECT n FROM __sil), (SELECT scrub_nulls FROM __sil),
+   (SELECT {row_ok('scrub_nulls', 'n', 0.999)} FROM __sil)),
+  ('pages_silver_suite', 'expect_column_values_to_be_between', 'n_tokens',
+   'pages_silver@1', (SELECT n FROM __sil), (SELECT tok_oob FROM __sil),
+   (SELECT {row_ok('tok_oob', 'n')} FROM __sil)),
+  ('pages_silver_suite', 'expect_column_values_to_be_in_set', 'lang_pred',
+   'pages_silver@1', (SELECT n FROM __sil), (SELECT lp_bad FROM __sil),
+   (SELECT {row_ok('lp_bad', 'n')} FROM __sil)),
+
+  ('pages_kept_suite', 'expect_table_row_count_to_be_between', '',
+   'pages_kept@1', 0, 0,
+   (SELECT n FROM __kgold) BETWEEN ({lo}) AND ({hi})),
+  ('pages_kept_suite', 'expect_values_to_satisfy_expression', '',
+   'pages_kept@1', (SELECT n FROM __kgold), 0, TRUE),
+  ('pages_kept_suite', 'expect_column_values_to_be_unique', 'url',
+   'pages_kept@1', (SELECT n FROM __kgold), (SELECT url_dups FROM __kgold),
+   (SELECT {row_ok('url_dups', 'n')} FROM __kgold)),
+
+  ('pages_gold_suite', 'expect_table_columns_to_match_ordered_list', '',
+   'pages_gold@1', 0, 0, TRUE),
+  ('pages_gold_suite', 'expect_column_values_to_not_be_null', 'url',
+   'pages_gold@1', (SELECT n FROM __kgold), (SELECT url_nulls FROM __kgold),
+   (SELECT {row_ok('url_nulls', 'n')} FROM __kgold)),
+  ('pages_gold_suite', 'expect_column_values_to_be_unique', 'url',
+   'pages_gold@1', (SELECT n FROM __kgold), (SELECT url_dups FROM __kgold),
+   (SELECT {row_ok('url_dups', 'n')} FROM __kgold)),
+  ('pages_gold_suite', 'expect_column_values_to_be_in_set', 'lang',
+   'pages_gold@1', (SELECT n FROM __kgold), (SELECT lang_bad FROM __kgold),
+   (SELECT {row_ok('lang_bad', 'n')} FROM __kgold)),
+  ('pages_gold_suite', 'expect_column_values_to_not_be_null', 'text',
+   'pages_gold@1', (SELECT n FROM __kgold), (SELECT text_nulls FROM __kgold),
+   (SELECT {row_ok('text_nulls', 'n')} FROM __kgold)),
+  ('pages_gold_suite', 'expect_column_value_lengths_to_be_between', 'text',
+   'pages_gold@1', (SELECT n FROM __kgold), (SELECT len_oob FROM __kgold),
+   (SELECT {row_ok('len_oob', 'n')} FROM __kgold)),
+{pii_rows})
+)
+SELECT suite AS expectation_suite_name, name AS expectation_name,
+  col AS expectation_column, batch AS batch_identifier,
+  CAST(ec AS BIGINT) AS element_count, CAST(ux AS BIGINT) AS unexpected_count,
+  ok AS success,
+  100.0 * sum(CASE WHEN ok THEN 1 ELSE 0 END) OVER (PARTITION BY suite)
+    / count(*) OVER (PARTITION BY suite) AS success_percent,
+  CAST(count(*) OVER (PARTITION BY suite) AS INT) AS evaluated_expectations,
+  CAST(1 AS BIGINT) AS checkpoint_epoch
+FROM __rows
+"""
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,7 +1893,9 @@ FROM (
     sha256(text || (['image', 'audio', 'video'])[(doc_id % 3) + 1]) AS h
   FROM documents WHERE doc_id < 100)
 """,
-        # omitted (rows-only by design): pipeline_lineage_metrics — the
-        # metrics rows carry run-scoped identifiers; the gold DATA path
-        # is fully oracle-checked via pipeline_pages_gold above.
+        # the metrics/lineage plane, replayed per-expectation from the
+        # same staged CTEs as the gold data path (run-scoped columns —
+        # run_name, timestamps, duration — excluded from the compared
+        # frame by the Spark-side projection)
+        "pipeline_lineage_metrics": _pipeline_lineage_metrics_sql(),
     }
