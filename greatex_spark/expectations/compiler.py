@@ -328,6 +328,16 @@ def compile_suite(df: DataFrame, suite: Suite) -> tuple[list[Column], dict[int, 
             )
             metrics.append(agg_fn(F.col(k["column"])).alias(f"e{i}_observed"))
             plan[i] = {"kind": "aggregate", "metric": f"e{i}_observed"}
+        elif t == "expect_column_values_to_be_unique" and k.get("exact"):
+            # opt-in GE-EXACT semantics: unexpected = every member of a
+            # duplicate group (GE counts all rows whose value occurs
+            # more than once), computed by a dedicated groupBy job in
+            # run_suite — one extra shuffle, which is exactly why the
+            # fused excess-duplicates variant below stays the default.
+            # Gate outcomes are identical at mostly=1.0; exact=True
+            # closes the sub-1.0 divergence documented in README
+            # "Divergences from Great Expectations".
+            plan[i] = {"kind": "unique_exact", "column": k["column"]}
         elif t == "expect_column_values_to_be_unique":
             # fused into the single-pass agg: unexpected = excess
             # duplicates = count(col) − count_distinct(col).  (GE counts
@@ -428,6 +438,27 @@ def run_suite(
                     observed, k.get("min_value"), k.get("max_value")
                 )
                 res = {"observed_value": observed}
+            elif p["kind"] == "unique_exact":
+                # GE-exact: count every row belonging to a duplicate
+                # group (nulls excluded, like the fused variant) — its
+                # own aggregation job, map-side partials + one shuffle
+                col = F.col(p["column"])
+                row = (
+                    df.where(col.isNotNull())
+                    .groupBy(col)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where(F.col("__n") > 1)
+                    .agg(F.sum("__n"))
+                    .first()
+                )
+                unexpected = int(row[0] or 0)
+                pct = 100.0 * unexpected / element_count if element_count else 0.0
+                success = pct <= (1.0 - exp.mostly) * 100.0
+                res = {
+                    "element_count": element_count,
+                    "unexpected_count": unexpected,
+                    "unexpected_percent": pct,
+                }
             elif p["kind"] == "unique_fused":
                 unexpected = int(agg_row[p["metric"]] or 0)
                 pct = 100.0 * unexpected / element_count if element_count else 0.0

@@ -20,10 +20,12 @@ Scale design (100 TB):
   O(diameter).  Duplicate clusters are additionally dense (near-dup
   similarity is close to transitive), so in practice 2–3 rounds
   suffice.
-- Each round ends in ``localCheckpoint(eager=True)`` to truncate the
-  iterative lineage (on a cluster, substitute a reliable
-  ``checkpoint()`` dir); the convergence probe is a ``limit(1)`` join —
-  one cheap job, no data collected.
+- Each round truncates the iterative lineage: executor-local
+  ``localCheckpoint(eager=True)`` by default (fastest; lost on
+  executor failure), or reliable ``checkpoint()`` into a caller-given
+  ``checkpoint_dir`` (HDFS/object store) for real clusters — the
+  ``_checkpointer`` seam.  The convergence probe is one tiny
+  label-sum aggregate per round, no data collected.
 
 There is no counterpart in the reference (GreatEx validates tables; it
 never deduplicates — this is part of the beyond-reference training-data
@@ -43,11 +45,36 @@ from greatex_spark.operators.dedup import (
 )
 
 
+def _checkpointer(checkpoint_dir: str | None):
+    """Pick the per-round lineage-truncation strategy.
+
+    ``localCheckpoint`` (default) materializes on executor local disk —
+    fastest, but an executor loss discards blocks whose lineage was
+    already truncated, failing the job.  Passing ``checkpoint_dir``
+    switches to reliable ``DataFrame.checkpoint()`` into that
+    (HDFS/object-store) directory — the right mode on a real cluster
+    where executors come and go; the dir is set once per SparkContext
+    (Spark keeps a single global checkpoint dir)."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+
+    def reliable(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None or not str(
+            sc.getCheckpointDir()
+        ).startswith(checkpoint_dir.rstrip("/")):
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+
+    return reliable
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges`` — returns
     ``(node, component)`` where ``component`` is the minimum node id
@@ -56,7 +83,13 @@ def connected_components(
 
     ``max_iters`` bounds the path-doubling loop: 25 doublings cover any
     graph whose diameter fits in a long, so hitting the cap means the
-    convergence probe itself is broken, not the graph too large."""
+    convergence probe itself is broken, not the graph too large.
+
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    executor-local ``localCheckpoint`` to reliable ``checkpoint()``
+    into that directory (survives executor loss — see
+    :func:`_checkpointer`)."""
+    ckpt = _checkpointer(checkpoint_dir)
     e = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -64,15 +97,10 @@ def connected_components(
     # checkpoint the (usually expensive) edge derivation ONCE — every
     # iteration reuses the materialized symmetric edge set instead of
     # re-running the upstream candidate/verify pipeline
-    e = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
+    e = ckpt(e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct())
+    labels = ckpt(
         e.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     # convergence probe: per-node labels only ever decrease, so the
     # label sum strictly decreases until fixpoint — one tiny agg per
@@ -96,11 +124,10 @@ def connected_components(
         cand = links.join(
             labels.select(F.col("node").alias("b"), "label"), on="b"
         ).select(F.col("a").alias("node"), "label")
-        labels = (
+        labels = ckpt(
             cand.unionByName(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
@@ -120,17 +147,21 @@ def duplicate_clusters(
     family: str = "md5",
     candidate_cap: int | None = 64,
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-document duplicate-cluster assignment: verified near-dup
     pairs (:func:`dedup.ngram_jaccard_pairs`) closed transitively.
     Returns every input row's ``(id_col, cluster_id, cluster_size,
     is_survivor)`` — ``cluster_id`` is the minimum doc id of the
     cluster (singletons are their own cluster), ``is_survivor`` marks
-    the one row per cluster a CC-based dedup would keep."""
+    the one row per cluster a CC-based dedup would keep.
+
+    ``checkpoint_dir`` → reliable iteration checkpoints (cluster mode);
+    default is executor-local (see :func:`connected_components`)."""
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, n, threshold, num_perm, num_bands, family, candidate_cap
     )
-    cc = connected_components(pairs, "__ida", "__idb", max_iters)
+    cc = connected_components(pairs, "__ida", "__idb", max_iters, checkpoint_dir)
     assigned = (
         df.select(F.col(id_col))
         .join(cc, on=F.col(id_col) == F.col("node"), how="left")

@@ -65,3 +65,40 @@ def test_duplicate_clusters_covers_every_row(spark):
     out = duplicate_clusters(df)
     assert out.count() == 30
     assert out.where(F.col("is_survivor")).count() == 30
+
+
+def test_cc_reliable_checkpoint_dir_used_and_result_unchanged(spark, tmp_path):
+    """checkpoint_dir switches per-round lineage truncation to reliable
+    DataFrame.checkpoint(): files must land under the dir and the
+    components must equal the localCheckpoint run's."""
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    edges = [(i, i + 1) for i in range(20)] + [(50, 51), (51, 52)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    reliable = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint_dir=ckpt_dir).collect()
+    }
+    assert reliable == local
+    import os
+
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(ckpt_dir)
+        for f in fs
+    ]
+    assert files, "no reliable checkpoint files written under checkpoint_dir"
+
+
+def test_duplicate_clusters_checkpoint_dir_parity(spark, tmp_path):
+    rows = [(1, "alpha beta gamma delta " * 20), (2, "alpha beta gamma delta " * 20 + "x"),
+            (9, "entirely different content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(df).collect()}
+    with_dir = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            df, checkpoint_dir=str(tmp_path / "dc_ckpt")
+        ).collect()
+    }
+    assert with_dir == base

@@ -248,3 +248,41 @@ def test_integer_sum_expectation_survives_int64_overflow(spark):
     )
     assert vr.success
     assert vr.results[0].result["observed_value"] == 4 * big  # exact int
+
+
+def test_values_to_be_unique_exact_matches_ge_semantics(spark):
+    """exact=True computes GE's unexpected_count: EVERY member of a
+    duplicate group.  Planted frame: 'a'x3 + 'b'x2 + 'c','d' unique +
+    2 nulls -> GE unexpected = 5 (3 a's + 2 b's), fused default = 3
+    (excess duplicates).  10 rows, so exact mostly=0.5 fails (50% > 50%
+    is false -> pct 50 <= 50 passes)... hand-compute: ux=5, ec=10,
+    pct=50.0; mostly=0.5 threshold is exactly 50.0 -> passes; mostly=0.6
+    (threshold 40.0) -> fails, while the fused variant (ux=3, pct=30)
+    would pass: the divergence exact=True exists to close."""
+    rows = [("a",), ("a",), ("a",), ("b",), ("b",), ("c",), ("d",),
+            ("e",), (None,), (None,)]
+    df = spark.createDataFrame(rows, "s string")
+
+    exact = run_suite(
+        df, Suite.of("u", E("expect_column_values_to_be_unique", column="s",
+                            exact=True, mostly=0.6)))
+    r = exact.results[0].result
+    assert r["unexpected_count"] == 5          # 3 a's + 2 b's, nulls excluded
+    assert r["element_count"] == 10
+    assert not exact.results[0].success        # 50% > 40% allowed
+
+    fused = run_suite(
+        df, Suite.of("u", E("expect_column_values_to_be_unique", column="s",
+                            mostly=0.6)))
+    assert fused.results[0].result["unexpected_count"] == 3   # excess only
+    assert fused.results[0].success            # 30% <= 40% -> the documented gap
+
+    # at mostly=1.0 the two modes agree on outcome (both fail here,
+    # both pass on a clean frame)
+    clean = spark.createDataFrame([("x",), ("y",), (None,)], "s string")
+    for kw in ({}, {"exact": True}):
+        vr = run_suite(
+            clean, Suite.of("u", E("expect_column_values_to_be_unique",
+                                   column="s", **kw)))
+        assert vr.success
+        assert vr.results[0].result["unexpected_count"] == 0
