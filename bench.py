@@ -40,6 +40,45 @@ from greatex_spark.pipeline.stages import (  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+def _stage_ids(spark) -> set[int]:
+    """Completed stage ids so far (UI REST API); empty set if UI off."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            return {s["stageId"] for s in json.load(r)}
+    except Exception:
+        return set()
+
+
+def _shuffle_stats(spark, exclude: set[int]) -> dict | None:
+    """Total + peak-stage shuffle write bytes for stages not in
+    ``exclude`` — the measured shuffle footprint of one job section."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = [s for s in json.load(r) if s["stageId"] not in exclude]
+        if not stages:
+            return None
+        wr = [s.get("shuffleWriteBytes", 0) for s in stages]
+        return {
+            "shuffle_write_bytes_total": int(sum(wr)),
+            "peak_stage_shuffle_write_bytes": int(max(wr)),
+            "stages_measured": len(stages),
+        }
+    except Exception:
+        return None
+
+
 def sf_of(sf_dir: str) -> float:
     tag = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -52,7 +91,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_of(sf_dir)
     n_pages = int(os.environ.get("GREATEX_BENCH_PAGES", int(1_000_000 * sf)))
-    spark = get_spark(app_name="greatex-bench")
+    # UI on for this process only: the REST stage API is how the 1M
+    # scale-up section measures its shuffle footprint
+    spark = get_spark(
+        app_name="greatex-bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "5000"},
+    )
     tmp = tempfile.mkdtemp(prefix="greatex_bench_")
     timings: dict[str, float] = {}
 
@@ -418,6 +462,45 @@ def main() -> None:
         tbase.unpersist()
         tcorpus.unpersist()
 
+        # ---- scale-up evidence: the same pipeline at 1M pages -------------
+        # (10x the headline input on the same local[32]: docs/sec should
+        # hold within ~20% of the 100k rate if the candidate caps, AQE
+        # skew handling and the dedup aggregation scale linearly; shuffle
+        # volume is measured from the UI REST API — `peak_stage_shuffle`
+        # is the largest single stage's shuffle write)
+        pages_1m = None
+        n_1m = int(os.environ.get(
+            "GREATEX_BENCH_PAGES_1M", "1000000" if sf >= 0.1 else "0"
+        ))
+        if n_1m:
+            try:
+                b1 = os.path.join(tmp, "bronze1m")
+                generate_pages(spark, n_1m, seed=42).write.parquet(b1)
+                bronze1m = spark.read.parquet(b1)
+                s1 = os.path.join(tmp, "silver1m")
+                g1 = os.path.join(tmp, "gold1m")
+                seen_stages = _stage_ids(spark)
+                t0 = time.perf_counter()
+                featurize(bronze1m, cfg).write.mode("overwrite").parquet(s1)
+                silver1m = spark.read.parquet(s1)
+                gold_projection(dedup(filter_kept(silver1m), cfg)).write.mode(
+                    "overwrite"
+                ).parquet(g1)
+                dt = time.perf_counter() - t0
+                shuf = _shuffle_stats(spark, exclude=seen_stages)
+                rate = round(n_1m / dt, 1)
+                pages_1m = {
+                    "pages": n_1m,
+                    "sec": round(dt, 3),
+                    "docs_per_sec": rate,
+                    "rate_vs_100k": round(rate / docs_per_sec, 3),
+                    "kept": spark.read.parquet(g1).count(),
+                    **(shuf or {}),
+                }
+                timings["pages_pipeline_1m"] = round(dt, 3)
+            except Exception as ex:  # never let the scale-up probe kill the run
+                pages_1m = {"error": f"{type(ex).__name__}: {ex}"}
+
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -434,6 +517,7 @@ def main() -> None:
                     "ann_crossover": ann_crossover,
                     "emb_dedup_recall": dedup_recall,
                     "text_dedup_recall": text_dedup_recall,
+                    "pages_1m": pages_1m,
                     "total_sec": total,
                     "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 }

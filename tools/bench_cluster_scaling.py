@@ -79,10 +79,18 @@ bronze = spark.read.parquet(bronze_path)
 cfg = PipelineConfig()
 
 def run_once(src, tag):
+    # two timed phases = the job's two actions, so the wall clock is
+    # attributable: phase 1 is the UDF/featurize projection + silver
+    # parquet write (Python-worker bound), phase 2 is the MinHash
+    # banding aggregation + survivor join + gold write (shuffle bound)
     sp, gp = os.path.join(out_path, "silver" + tag), os.path.join(out_path, "gold" + tag)
+    t0 = time.perf_counter()
     featurize(src, cfg).write.mode("overwrite").parquet(sp)
+    t1 = time.perf_counter()
     silver = spark.read.parquet(sp)
     gold_projection(dedup(filter_kept(silver), cfg)).write.mode("overwrite").parquet(gp)
+    t2 = time.perf_counter()
+    return t1 - t0, t2 - t1
 
 warm = spark.read.parquet(bronze_path).limit(5000).localCheckpoint()
 run_once(warm, "w"); run_once(warm, "w")
@@ -90,13 +98,14 @@ run_once(warm, "w"); run_once(warm, "w")
 # several passes to reach steady state (observed slow ramp on the
 # UDF stages); steady-state is what a long-running 10^12-doc job sees
 run_once(bronze, "t"); run_once(bronze, "t")
-times = []
+times, stage_times = [], []
 for _ in range(3):
     time.sleep(2)
     t0 = time.perf_counter()
-    run_once(bronze, "t")
+    ts, tg = run_once(bronze, "t")
     times.append(time.perf_counter() - t0)
-print("RESULT " + json.dumps(times))
+    stage_times.append([ts, tg])
+print("RESULT " + json.dumps({{"times": times, "stages": stage_times}}))
 """
 
 
@@ -186,9 +195,12 @@ def run_level(bronze_path: str, n_workers: int, n_pages: int, workdir: str) -> d
             )
             for line in out.stdout.splitlines():
                 if line.startswith("RESULT "):
-                    times = json.loads(line[len("RESULT "):])
+                    payload = json.loads(line[len("RESULT "):])
+                    times = payload["times"]
+                    stages = payload["stages"]
                     med = statistics.median(times)
                     best = min(times)
+                    best_i = times.index(best)
                     return {
                         "executors": n_workers,
                         "cores_per_executor": 8,
@@ -199,6 +211,23 @@ def run_level(bronze_path: str, n_workers: int, n_pages: int, workdir: str) -> d
                         # the steady-state estimator robust to noise bursts
                         "min_sec": round(best, 2),
                         "docs_per_sec": round(n_pages / best, 1),
+                        # per-phase wall time of the best run + the
+                        # per-phase minima across runs (phase 1 =
+                        # featurize UDFs + silver write; phase 2 =
+                        # MinHash dedup shuffle + gold write) — lets the
+                        # lost efficiency be attributed to a phase
+                        "stage_sec_best_run": {
+                            "featurize_silver_write": round(stages[best_i][0], 2),
+                            "dedup_gold_write": round(stages[best_i][1], 2),
+                        },
+                        "stage_sec_min": {
+                            "featurize_silver_write": round(
+                                min(s[0] for s in stages), 2
+                            ),
+                            "dedup_gold_write": round(
+                                min(s[1] for s in stages), 2
+                            ),
+                        },
                     }
             raise RuntimeError(
                 f"driver[{n_workers} workers] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
@@ -241,6 +270,12 @@ def main() -> None:
     speedup = low["min_sec"] / high["min_sec"]
     eff = speedup / 4.0
     eff_norm = speedup / hw["pure_cpu_speedup_8_to_32"]
+    stage_eff = {
+        phase: round(
+            low["stage_sec_min"][phase] / high["stage_sec_min"][phase] / 4.0, 3
+        )
+        for phase in ("featurize_silver_write", "dedup_gold_write")
+    }
     result = {
         "job": "end-to-end pages pipeline (featurize + keep/drop + scrub + MinHash dedup)",
         "cluster": "Spark standalone on localhost; each executor an independent "
@@ -251,6 +286,7 @@ def main() -> None:
         "speedup_1_to_2_executors": round(low["min_sec"] / mid["min_sec"], 3),
         "speedup_1_to_4_executors": round(speedup, 3),
         "scaling_efficiency_raw": round(eff, 3),
+        "scaling_efficiency_by_stage": stage_eff,
         "hardware_baseline": hw,
         "scaling_efficiency_vs_hardware_ceiling": round(eff_norm, 3),
         "criterion": "efficiency >= 0.8 between N and 4N executors; this VM's own "
