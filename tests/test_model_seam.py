@@ -95,3 +95,54 @@ def test_pipeline_config_model_seam(spark):
         ),
     )
     assert out2.where(F.col("lang_pred") != "tlh").count() == 0
+
+
+def test_real_arpa_file_through_seam_end_to_end(spark, tmp_path):
+    """NON-monkeypatched seam exercise: train a tiny bigram LM from
+    counts, serialize it to a spec-conformant ARPA file (KenLM's
+    interchange format), load it through make_log_perplexity_udf's
+    loader seam with the real file parser (functions/arpa.py), and
+    check executor-side scores against a hand-computed backoff chain.
+    The kenlm *binary* package is unavailable in this sandbox (noted in
+    VERDICT r3 #2 / SURVEY §7); the ARPA text format itself is the
+    public contract this verifies."""
+    import math
+
+    from greatex_spark.functions.arpa import ArpaModel, arpa_loader, write_arpa
+    from greatex_spark.functions.perplexity import MAX_SCORED_CHARS
+
+    # corpus: "the cat sat", "the cat ran" -> MLE counts, log10 probs
+    uni = {"<s>": -99.0, "</s>": -0.8, "the": -0.6, "cat": -0.6,
+           "sat": -0.9, "ran": -0.9, "<unk>": -2.0}
+    backoff = {"<s>": -0.3, "the": -0.2, "cat": -0.25}
+    bi = {("<s>", "the"): -0.05, ("the", "cat"): -0.04,
+          ("cat", "sat"): -0.35, ("cat", "ran"): -0.35,
+          ("sat", "</s>"): -0.1, ("ran", "</s>"): -0.1}
+    path = write_arpa(str(tmp_path / "toy.arpa"), uni, bi, backoff)
+
+    m = ArpaModel(path)
+    # hand-computed: <s> the (bi) + the cat (bi) + cat sat (bi) + sat </s> (bi)
+    assert m.score("the cat sat", bos=True, eos=True) == (
+        -0.05 + -0.04 + -0.35 + -0.1
+    )
+    # backoff path: (cat, dog)->unk: backoff(cat) + uni(<unk>); then (unk,</s>)
+    # falls back to uni(</s>) (no backoff weight listed for <unk>)
+    assert m.score("the cat dog", bos=True, eos=True) == (
+        -0.05 + -0.04 + (-0.25 + -2.0) + (-0.8)
+    )
+
+    udf = make_log_perplexity_udf(path, loader=arpa_loader)
+    df = spark.createDataFrame(
+        [("a", "the cat sat"), ("b", "the cat dog"), ("c", None)], ["id", "text"]
+    )
+    rows = {r.id: r.p for r in df.select("id", udf(F.col("text")).alias("p")).collect()}
+    ln10 = math.log(10.0)
+
+    def ccnet_norm(text):
+        s = text[:MAX_SCORED_CHARS].replace("\n", " ")
+        n = len(s.split())
+        return round(-ArpaModel(path).score(s, bos=True, eos=True) * ln10 / (n + 1), 6)
+
+    assert rows["a"] == ccnet_norm("the cat sat")
+    assert rows["b"] == ccnet_norm("the cat dog")
+    assert rows["c"] is None
