@@ -97,7 +97,14 @@ def main() -> None:
         app_name="greatex-bench",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "5000"},
     )
-    tmp = tempfile.mkdtemp(prefix="greatex_bench_")
+    # snapshots on tmpfs when available: cluster nodes own their local
+    # disks, while this sandbox's 32 threads share one — same modeling
+    # choice as tools/bench_cluster_scaling.py, and it sidesteps the
+    # host's intermittent multi-second page-fault stalls on /tmp
+    tmp = tempfile.mkdtemp(
+        prefix="greatex_bench_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     timings: dict[str, float] = {}
 
     def timed(name: str, fn, runs: int = 1) -> None:
