@@ -424,6 +424,7 @@ def minhash_lsh_dedup(
     num_bands: int = 16,
     shingle_k: int = 5,
     family: str = "md5",
+    survivor_join: str = "semi",
 ) -> DataFrame:
     """Drop near-duplicates: a row survives iff its id is the minimum of
     every LSH band bucket it lands in.
@@ -443,7 +444,21 @@ def minhash_lsh_dedup(
     the only wide exchange is the bucket-min aggregate, collapsed by
     map-side partial combine to one row per distinct bucket; nothing
     buffers whole buckets (hot boilerplate buckets stream through the
-    partial min)."""
+    partial min).
+
+    ``survivor_join`` picks how survivors rejoin the full rows:
+
+    - ``"semi"`` (default, the spec): ``df ⋉ survivors`` — one hash
+      join keyed on id.  Right choice when a large fraction of the
+      corpus is duplicate (raw crawls), since the survivor set is the
+      smaller side there.
+    - ``"anti"``: ``df ▷ (ids − survivors)`` — the DROPPED-id set is
+      joined instead.  On quality-filtered web text the near-dup rate
+      is a few percent, so the drop set is tiny and AQE broadcasts it:
+      the text-carrying rows never shuffle at all (measured: the
+      survivor semi-join was the non-scaling phase of the 1→4-executor
+      pipeline run).  Results are identical — parity-pinned by pytest.
+    """
     if num_perm % num_bands:
         raise ValueError("num_perm must be divisible by num_bands")
     rows_per_band = num_perm // num_bands
@@ -461,6 +476,15 @@ def minhash_lsh_dedup(
         .where(F.col("__n") == num_bands)
         .select(F.col("__bmin").alias(id_col))
     )
+    if survivor_join == "anti":
+        # ids − survivors: long-only columns end to end; the final anti
+        # join's build side is the (small) drop set, so the wide rows
+        # stream through map-side only
+        drops = (
+            df.select(F.col(id_col)).distinct()
+            .join(reps, on=id_col, how="left_anti")
+        )
+        return df.join(drops, on=id_col, how="left_anti")
     return df.join(reps, on=id_col, how="left_semi")
 
 

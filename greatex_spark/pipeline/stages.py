@@ -48,6 +48,12 @@ class PipelineConfig:
     # the oracle-replayable spec family (same decisions up to hash
     # collisions) — see operators/dedup.py
     dedup_hash_family: str = "xxhash64"
+    # "anti" broadcasts the small dropped-id set so the text-carrying
+    # rows never shuffle in the survivor join (right for the few-%
+    # near-dup rate of quality-filtered web text); "semi" is the spec
+    # shape, right when much of the corpus is duplicate — see
+    # minhash_lsh_dedup
+    dedup_survivor_join: str = "anti"
     # heuristic features: Arrow-batched pandas UDF (hot path; identical
     # semantics, ~10-30x cheaper than the interpreted-HOF native spec —
     # see functions/heuristics_arrow.py) vs native Column expressions
@@ -197,6 +203,7 @@ def dedup(df: DataFrame, config: PipelineConfig) -> DataFrame:
         num_perm=config.minhash_num_perm,
         num_bands=config.minhash_num_bands,
         family=config.dedup_hash_family,
+        survivor_join=config.dedup_survivor_join,
     )
 
 

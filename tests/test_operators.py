@@ -429,3 +429,24 @@ def test_dedup_families_handle_short_documents(spark):
         r[0] for r in con.execute(minhash_lsh_dedup_duckdb_sql("t.doc_id")).fetchall()
     )
     assert duck == [1, 2, 3, 4]
+
+
+def test_minhash_dedup_anti_join_parity(spark, sf_dir):
+    """survivor_join='anti' (drop-set broadcast path) must select the
+    exact same survivor rows as the spec semi join, including on frames
+    with null/short texts."""
+    from greatex_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "tiny")],
+        "doc_id long, text string",
+    )
+    frame = docs.select("doc_id", "text").unionByName(extra)
+    semi = {r.doc_id for r in minhash_lsh_dedup(frame).select("doc_id").collect()}
+    anti = {
+        r.doc_id
+        for r in minhash_lsh_dedup(frame, survivor_join="anti")
+        .select("doc_id").collect()
+    }
+    assert anti == semi
