@@ -1,0 +1,201 @@
+"""Minimal fastText ``.bin`` model reader/writer — a REAL file-format
+loader for the language-ID model seam.
+
+The ``fasttext`` wheel is not installable in this sandbox, so the
+seam's default loader (:func:`langid._fasttext_loader`) cannot be
+exercised end-to-end here.  This module closes that gap the same way
+``functions/arpa.py`` does for KenLM: a pure-numpy reader of the
+PUBLIC fastText model serialization (facebookresearch/fastText,
+``src/fasttext.cc`` ``saveModel``/``loadModel``, ``src/args.cc``,
+``src/dictionary.cc``, ``src/densematrix.cc`` — file-format version
+12, magic ``793712314``), exposing the exact batch ``predict(texts,
+k=1)`` contract the seam's UDF body calls on a real
+``fasttext.load_model`` object.  A tiny supervised model written by
+:func:`write_fasttext_bin` is byte-level loadable by the real
+``fasttext`` package; conversely this reader loads any unquantized
+supervised ``.bin`` (e.g. ``lid.176.bin``) whose subword/word-ngram
+features are disabled (``minn=maxn=0``, ``wordNgrams=1`` — the
+configuration our writer emits; richer models raise rather than
+mis-score).
+
+Scoring follows the supervised softmax path: the hidden vector is the
+mean of the input-matrix rows of in-vocabulary tokens (the trailing
+``</s>`` fastText appends to every line included, when in vocabulary;
+OOV tokens contribute nothing at ``maxn=0``), and label probabilities
+are ``softmax(output @ hidden)``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+FASTTEXT_MAGIC = 793712314
+FASTTEXT_VERSION = 12
+EOS = "</s>"
+
+# args.cc enums (public): model_name {cbow=1, sg=2, sup=3},
+# loss_name {hs=1, ns=2, softmax=3, ova=4}
+MODEL_SUP = 3
+LOSS_SOFTMAX = 3
+
+_ARGS_INT_FIELDS = (
+    "dim", "ws", "epoch", "minCount", "neg", "wordNgrams",
+    "loss", "model", "bucket", "minn", "maxn", "lrUpdateRate",
+)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def unpack(self, fmt: str):
+        vals = struct.unpack_from("<" + fmt, self.data, self.pos)
+        self.pos += struct.calcsize("<" + fmt)
+        return vals
+
+    def cstring(self) -> str:
+        end = self.data.index(b"\x00", self.pos)
+        s = self.data[self.pos:end].decode("utf-8")
+        self.pos = end + 1
+        return s
+
+    def matrix(self) -> np.ndarray:
+        m, n = self.unpack("qq")
+        count = m * n
+        arr = np.frombuffer(
+            self.data, dtype="<f4", count=count, offset=self.pos
+        ).reshape(m, n)
+        self.pos += 4 * count
+        return arr.astype(np.float64)
+
+
+class FastTextBinModel:
+    """Unquantized supervised fastText model with the python package's
+    ``predict`` batch interface (``(labels, probs)`` lists for a list
+    input) — the exact surface ``langid.make_langid_udf`` scores
+    through, so the UDF body is identical for this and a real model."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            r = _Reader(f.read())
+        magic, version = r.unpack("ii")
+        if magic != FASTTEXT_MAGIC:
+            raise ValueError(f"{path!r} is not a fastText model (bad magic {magic})")
+        if version > FASTTEXT_VERSION:
+            raise ValueError(f"unsupported fastText file version {version}")
+        ints = r.unpack("i" * len(_ARGS_INT_FIELDS))
+        self.args = dict(zip(_ARGS_INT_FIELDS, ints))
+        (self.args["t"],) = r.unpack("d")
+        if self.args["model"] != MODEL_SUP:
+            raise ValueError("only supervised models are supported")
+        if self.args["maxn"] != 0 or self.args["wordNgrams"] != 1:
+            raise ValueError(
+                "subword/word-ngram features (maxn>0 or wordNgrams>1) "
+                "are out of scope for this minimal reader"
+            )
+        size, nwords, nlabels = r.unpack("iii")
+        _ntokens, pruneidx_size = r.unpack("qq")
+        self.nwords = nwords
+        self.word_id: dict[str, int] = {}
+        self.labels: list[str] = []
+        for i in range(size):
+            word = r.cstring()
+            _count, etype = r.unpack("qb")
+            if etype == 0:
+                self.word_id[word] = i
+            else:
+                self.labels.append(word)
+        if len(self.labels) != nlabels:
+            raise ValueError("dictionary label count mismatch")
+        for _ in range(max(pruneidx_size, 0)):
+            r.unpack("ii")
+        (quant_input,) = r.unpack("b")
+        if quant_input:
+            raise ValueError("quantized models are not supported")
+        self.input = r.matrix()
+        (qout,) = r.unpack("b")
+        if qout:
+            raise ValueError("quantized output matrices are not supported")
+        self.output = r.matrix()
+
+    def _predict_one(self, text: str, k: int):
+        # fastText's python binding appends '\n', so every line carries a
+        # trailing EOS token; it scores like any in-vocabulary word
+        ids = [
+            self.word_id[tok]
+            for tok in text.split() + [EOS]
+            if tok in self.word_id
+        ]
+        if not ids:
+            return [], np.array([])  # the real binding's empty-line result
+        hidden = self.input[ids].mean(axis=0)
+        scores = self.output @ hidden
+        scores -= scores.max()
+        probs = np.exp(scores)
+        probs /= probs.sum()
+        top = np.argsort(-probs)[:k]
+        return [self.labels[i] for i in top], probs[top]
+
+    def predict(self, texts, k: int = 1):
+        if isinstance(texts, str):
+            labels, probs = self._predict_one(texts, k)
+            return tuple(labels), probs
+        pairs = [self._predict_one(t, k) for t in texts]
+        return [p[0] for p in pairs], [p[1] for p in pairs]
+
+    def get_dimension(self) -> int:
+        return self.args["dim"]
+
+
+def fasttext_bin_loader(path: str) -> FastTextBinModel:
+    """Loader for ``make_langid_udf(model_path, loader=...)``."""
+    return FastTextBinModel(path)
+
+
+def write_fasttext_bin(
+    path: str,
+    words: dict[str, "list[float] | np.ndarray"],
+    labels: dict[str, "list[float] | np.ndarray"],
+) -> str:
+    """Serialize a tiny supervised model to a spec-conformant ``.bin``
+    — the in-sandbox stand-in for ``fasttext supervised`` training, so
+    tests can build a model from vectors and round-trip it through
+    :class:`FastTextBinModel` (or the real ``fasttext`` package).
+
+    ``words`` maps vocabulary words to input-matrix rows; ``labels``
+    maps ``__label__xx`` names to output-matrix rows.  Dictionary
+    order follows fastText's post-``threshold()`` layout: all words
+    first (ids ``0..nwords-1``), then labels."""
+    word_rows = [np.asarray(v, dtype=np.float32) for v in words.values()]
+    label_rows = [np.asarray(v, dtype=np.float32) for v in labels.values()]
+    dim = len(word_rows[0])
+    out = bytearray()
+    out += struct.pack("<ii", FASTTEXT_MAGIC, FASTTEXT_VERSION)
+    args = dict.fromkeys(_ARGS_INT_FIELDS, 0)
+    args.update(
+        dim=dim, ws=5, epoch=5, minCount=1, neg=5, wordNgrams=1,
+        loss=LOSS_SOFTMAX, model=MODEL_SUP, bucket=0, minn=0, maxn=0,
+        lrUpdateRate=100,
+    )
+    out += struct.pack("<" + "i" * len(_ARGS_INT_FIELDS),
+                       *(args[f] for f in _ARGS_INT_FIELDS))
+    out += struct.pack("<d", 1e-4)
+    size = len(words) + len(labels)
+    out += struct.pack("<iii", size, len(words), len(labels))
+    out += struct.pack("<qq", 100 * size, 0)  # ntokens, pruneidx size
+    for name, etype in [(w, 0) for w in words] + [(lb, 1) for lb in labels]:
+        out += name.encode("utf-8") + b"\x00"
+        out += struct.pack("<qb", 100, etype)
+    out += struct.pack("<b", 0)  # quant_input = false
+    for rows in (word_rows, label_rows):
+        mat = np.vstack(rows)
+        out += struct.pack("<qq", mat.shape[0], mat.shape[1])
+        out += mat.astype("<f4").tobytes()
+        if rows is word_rows:
+            out += struct.pack("<b", 0)  # qout = false
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return path

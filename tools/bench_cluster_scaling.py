@@ -259,10 +259,35 @@ def main() -> None:
             subprocess.run(
                 [sys.executable, "-c", gen], check=True, capture_output=True, timeout=900
             )
-            levels = [
-                run_level(bronze_path, n, n_pages, btmp) for n in (1, 2, 4)
-            ]
-            low, mid, high = levels
+            # TWO passes over the executor counts (1,2,4 then 1,4): the
+            # host's capacity drifts on a minutes timescale, and a
+            # single sequential sweep lets one noisy window depress one
+            # END of the ratio (observed: the identical featurize phase
+            # measured 0.915 vs 0.71 efficiency in back-to-back sweeps).
+            # Min-per-level across bracketing passes estimates each
+            # level's calm-window steady state.
+            passes = []
+            for pass_no, lv in enumerate(((1, 2, 4), (1, 4))):
+                for n in lv:
+                    r = run_level(bronze_path, n, n_pages, btmp)
+                    r["pass"] = pass_no
+                    passes.append(r)
+            merged: dict[int, dict] = {}
+            for r in passes:
+                n = r["executors"]
+                if n not in merged or r["min_sec"] < merged[n]["min_sec"]:
+                    merged[n] = dict(r)
+            for n, m in merged.items():
+                m["stage_sec_min"] = {
+                    ph: min(
+                        r["stage_sec_min"][ph]
+                        for r in passes
+                        if r["executors"] == n
+                    )
+                    for ph in ("featurize_silver_write", "dedup_gold_write")
+                }
+            low, mid, high = merged[1], merged[2], merged[4]
+            levels = [low, mid, high]
     finally:
         stop(master)
 
@@ -283,6 +308,7 @@ def main() -> None:
                    "via spark.submit.pyFiles (spark-submit --py-files equivalent)",
         "input_pages": n_pages,
         "levels": levels,
+        "all_passes_raw": passes,
         "speedup_1_to_2_executors": round(low["min_sec"] / mid["min_sec"], 3),
         "speedup_1_to_4_executors": round(speedup, 3),
         "scaling_efficiency_raw": round(eff, 3),
