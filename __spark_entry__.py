@@ -1310,6 +1310,20 @@ def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (sixth dedup family, Abbas et al. 2023): k-means cells
+    as semantic candidate groups, within-cell cosine drop rule, bounded
+    representatives.  The deterministic quantizer (hash-sampled numpy
+    Lloyd's, as in ann_ivf_topk) lets the DuckDB oracle retrain the
+    identical centroids and replay every drop."""
+    from greatex_spark.operators.ann import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, dim=64, threshold=0.4, nlist=8).select(
+        "vec_id", "label"
+    )
+
+
 def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     first = F.element_at(F.col("embedding"), 1).cast("double")
@@ -1675,6 +1689,26 @@ def _ann_ivf_oracle() -> dict[str, str]:
     return {"ann_ivf_topk": ivf_topk_duckdb_sql("vec_id < 8", cents, nprobe=4)}
 
 
+def _emb_semdedup_oracle() -> dict[str, str]:
+    """DuckDB twin of :func:`emb_semdedup` — same retrained-quantizer
+    contract as :func:`_ann_ivf_oracle`."""
+    import os
+
+    from greatex_spark.operators.ann import (
+        ivf_centroids_from_parquet,
+        semdedup_duckdb_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        cents = ivf_centroids_from_parquet(f"{sf_dir}/embeddings.parquet", nlist=8)
+    except Exception:
+        return {}
+    return {
+        "emb_semdedup": semdedup_duckdb_sql("t.vec_id, t.label", cents, threshold=0.4)
+    }
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1755,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "emb_cosine_dedup": emb_cosine_dedup,
+        "emb_semdedup": emb_semdedup,
         "emb_label_stats": emb_label_stats,
         "pipeline_pages_gold": pipeline_pages_gold,
         "pipeline_lineage_metrics": pipeline_lineage_metrics,
@@ -1878,6 +1913,7 @@ SELECT label, count(*) AS n,
 FROM embeddings GROUP BY label
 """,
         **_ann_ivf_oracle(),
+        **_emb_semdedup_oracle(),
         "pipeline_pages_gold": _pipeline_pages_gold_sql(),
         # the fake decoder is a sha256 fold of the payload bytes, so even
         # the multimodal plumbing replays in SQL (payload = utf8(text),

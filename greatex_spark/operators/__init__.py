@@ -13,6 +13,7 @@ from greatex_spark.operators.ann import (  # noqa: F401
     brute_force_topk,
     embedding_cosine_dedup,
     lsh_topk,
+    semdedup,
 )
 from greatex_spark.operators.cluster import (  # noqa: F401
     connected_components,

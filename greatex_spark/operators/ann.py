@@ -49,7 +49,6 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
-
 def _vec_matrix(values, dtype=np.float64) -> np.ndarray:
     """Stack a pandas Series / list of array<float> cells into a 2-D
     float64 matrix.  With Arrow transfer each cell is already a numpy
@@ -1113,3 +1112,100 @@ def embedding_cosine_dedup(
         .distinct()
     )
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means clustering + within-cluster cosine
+
+
+def semdedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    train_sample: int = 4096,
+    max_iter: int = 10,
+    candidate_cap: int | None = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal — cluster embeddings with a coarse k-means
+    quantizer, then drop a row iff a lower-id *representative* of its
+    cluster has cosine ≥ ``threshold``.
+
+    Differs from :func:`embedding_cosine_dedup` in the candidate
+    grouping: k-means cells capture *semantic* neighborhoods (the
+    paper's finding: web corpora carry large semantically-redundant
+    regions that random-hyperplane buckets split), while LSH buckets
+    capture near-exact copies.  Same scale discipline as the rest of
+    the family: the quantizer trains driver-side on a bounded one-pass
+    hash-sample (never a full scan), cell assignment is a pure literal
+    expression, candidates are bounded per cell by ``candidate_cap``
+    id-hash-cell representatives (a hot cell costs rows × cap
+    comparisons, never cell²), and the final survivor rejoin is a
+    broadcast anti-join on the small dropped-id set — text/vectors
+    never shuffle in the drop computation's output.
+
+    Fully deterministic (seedless Lloyd's over the md5-ordered sample)
+    — the DuckDB twin :func:`semdedup_duckdb_sql` retrains the same
+    quantizer from the same parquet and replays every drop."""
+    if centroids is None:
+        rows = _hash_sample(df, id_col, vec_col, train_sample).collect()
+        centroids = train_centroids(_vec_matrix([r[1] for r in rows]), nlist, max_iter)
+    from greatex_spark.operators.dedup import bucket_representatives
+
+    withc = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.element_at(_cell_structs(F.col(vec_col), centroids), 1)["i"].alias("__kcell"),
+    )
+    reps = bucket_representatives(withc, ["__kcell"], "__id", candidate_cap).join(
+        withc.select(F.col("__id").alias("__rep_id"), F.col("__v").alias("__rv")),
+        on="__rep_id",
+    )
+    dropped = (
+        withc.join(reps, on="__kcell")
+        .where(F.col("__id") > F.col("__rep_id"))
+        .where(cosine(F.col("__v"), F.col("__rv")) >= threshold)
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(dropped), on=id_col, how="left_anti")
+
+
+def semdedup_duckdb_sql(
+    select_cols: str,
+    centroids: list[list[float]],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    candidate_cap: int | None = 64,
+) -> str:
+    """Oracle for :func:`semdedup` (literal centroid assignment as in
+    :func:`ivf_topk_duckdb_sql`, bounded representatives as in
+    :func:`embedding_cosine_dedup_duckdb_sql`)."""
+    from greatex_spark.operators.dedup import _reps_cte_sql
+
+    nlist = len(centroids)
+    cell_sorted = _cell_structs_sql(f"c.{vec_col}", dim, nlist, "cs")
+    cos = _seq_cosine_sql(f"l.{vec_col}", f"r.{vec_col}", dim)
+    return f"""
+WITH cents AS (SELECT {_centroids_sql(centroids)} AS cs),
+assigned AS (
+  SELECT c.{id_col}, c.{vec_col}, ({cell_sorted})[1].i AS cell
+  FROM {table} c, cents),
+reps AS ({_reps_cte_sql('assigned', 'cell', id_col, candidate_cap)}),
+rvec AS (
+  SELECT rp.cell, rp.rid, a.{vec_col}
+  FROM reps rp JOIN assigned a ON a.{id_col} = rp.rid),
+dropped AS (
+  SELECT DISTINCT l.{id_col} AS did
+  FROM assigned l JOIN rvec r ON l.cell = r.cell AND l.{id_col} > r.rid
+  WHERE {cos} >= {threshold})
+SELECT {select_cols} FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT did FROM dropped)
+"""

@@ -450,3 +450,47 @@ def test_minhash_dedup_anti_join_parity(spark, sf_dir):
         .select("doc_id").collect()
     }
     assert anti == semi
+
+
+def test_semdedup_drops_planted_semantic_dups(spark):
+    """SemDeDup: planted near-copies of cluster members are dropped
+    (same k-means cell, cosine above threshold); orthogonal vectors
+    survive; survivors keep the lowest id of each dup group."""
+    import random
+
+    from greatex_spark.operators.ann import semdedup
+
+    rng = random.Random(5)
+    dim = 16
+
+    def unit(axis: int) -> list[float]:
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    def jitter(v: list[float], eps: float) -> list[float]:
+        return [x + rng.uniform(-eps, eps) for x in v]
+
+    rows = []
+    # 4 well-separated clusters of 10 near-identical members each
+    for c in range(4):
+        for m in range(10):
+            rows.append((c * 100 + m, jitter(unit(c * 3), 0.01)))
+    # 8 mutually-orthogonal singletons (axes disjoint from the cluster
+    # axes {0,3,6,9}, so no cross-group near-dups exist)
+    for s, axis in enumerate((1, 2, 4, 5, 7, 8, 10, 11)):
+        rows.append((1000 + s, unit(axis)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semdedup(
+        df, dim=dim, threshold=0.95, nlist=4, candidate_cap=None
+    ).select("vec_id")
+    ids = {r.vec_id for r in kept.collect()}
+    # each planted cluster collapses to its minimum id
+    for c in range(4):
+        assert c * 100 in ids
+        assert not any(c * 100 + m in ids for m in range(1, 10))
+    # orthogonal singletons all survive
+    assert all(1000 + s in ids for s in range(8))
+    # the survivor rejoin must broadcast the dropped-id set
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
