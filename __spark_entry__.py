@@ -1324,6 +1324,30 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 1024
+DSIR_N = 100
+
+
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): fit hashed
+    unigram+bigram LMs for the target (lang='en') and the raw corpus,
+    score every doc with the literal log-probability-ratio fold, and
+    Gumbel-top-k sample without replacement on the md5-uniform key.
+    Both LM fits, the fold, the key, and the selection replay exactly
+    in DuckDB (bit-identical literals: integer bucket counts +
+    driver-side math.log on both sides)."""
+    from greatex_spark.operators.dsir import dsir_sample, fit_hashed_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    target = fit_hashed_lm(
+        docs.where(F.col("lang") == "en"), num_buckets=DSIR_BUCKETS
+    )
+    raw = fit_hashed_lm(docs, num_buckets=DSIR_BUCKETS)
+    return dsir_sample(
+        docs, target, raw, n=DSIR_N, num_buckets=DSIR_BUCKETS
+    ).select("doc_id", "lang", "source", "dsir_logw", "dsir_key")
+
+
 def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     first = F.element_at(F.col("embedding"), 1).cast("double")
@@ -1689,6 +1713,35 @@ def _ann_ivf_oracle() -> dict[str, str]:
     return {"ann_ivf_topk": ivf_topk_duckdb_sql("vec_id < 8", cents, nprobe=4)}
 
 
+def _doc_dsir_oracle() -> dict[str, str]:
+    """DuckDB twin of :func:`doc_dsir_sample` — refits both hashed LMs
+    from the same parquet (identical integer counts → identical
+    driver-side math.log literals) and replays the fold + Gumbel key."""
+    import os
+
+    from greatex_spark.operators.dsir import (
+        dsir_sample_duckdb_sql,
+        hashed_lm_from_parquet,
+        log_diff,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        target = hashed_lm_from_parquet(path, "lang = 'en'", num_buckets=DSIR_BUCKETS)
+        raw = hashed_lm_from_parquet(path, num_buckets=DSIR_BUCKETS)
+    except Exception:
+        return {}
+    return {
+        "doc_dsir_sample": dsir_sample_duckdb_sql(
+            "doc_id, lang, source, dsir_logw, dsir_key",
+            log_diff(target, raw),
+            DSIR_N,
+            num_buckets=DSIR_BUCKETS,
+        )
+    }
+
+
 def _emb_semdedup_oracle() -> dict[str, str]:
     """DuckDB twin of :func:`emb_semdedup` — same retrained-quantizer
     contract as :func:`_ann_ivf_oracle`."""
@@ -1790,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "emb_cosine_dedup": emb_cosine_dedup,
         "emb_semdedup": emb_semdedup,
+        "doc_dsir_sample": doc_dsir_sample,
         "emb_label_stats": emb_label_stats,
         "pipeline_pages_gold": pipeline_pages_gold,
         "pipeline_lineage_metrics": pipeline_lineage_metrics,
@@ -1914,6 +1968,7 @@ FROM embeddings GROUP BY label
 """,
         **_ann_ivf_oracle(),
         **_emb_semdedup_oracle(),
+        **_doc_dsir_oracle(),
         "pipeline_pages_gold": _pipeline_pages_gold_sql(),
         # the fake decoder is a sha256 fold of the payload bytes, so even
         # the multimodal plumbing replays in SQL (payload = utf8(text),

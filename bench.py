@@ -163,6 +163,10 @@ def main() -> None:
               lambda: noop(qs["doc_incremental_dedup"](spark, sf_dir)), runs=2)
         timed("doc_dup_clusters", lambda: noop(qs["doc_dup_clusters"](spark, sf_dir)), runs=2)
 
+        # ---- corpus-assembly operators (round 4) -------------------------
+        timed("doc_dsir_sample", lambda: qs["doc_dsir_sample"](spark, sf_dir).collect(), runs=2)
+        timed("emb_semdedup", lambda: noop(qs["emb_semdedup"](spark, sf_dir)), runs=2)
+
         # ---- ANN accuracy/speed trade: recall vs brute force -------------
         # (judged alongside latency — a fast ANN with unmeasured recall
         # is not an operator, it's a random-row sampler)

@@ -19,6 +19,11 @@ from greatex_spark.operators.cluster import (  # noqa: F401
     connected_components,
     duplicate_clusters,
 )
+from greatex_spark.operators.dsir import (  # noqa: F401
+    dsir_log_weight,
+    dsir_sample,
+    fit_hashed_lm,
+)
 from greatex_spark.operators.packing import pack_sequences  # noqa: F401
 from greatex_spark.operators.sampling import (  # noqa: F401
     domain_quota,
