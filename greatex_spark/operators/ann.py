@@ -72,9 +72,16 @@ def brute_force_topk(
     once with no shuffle; the only exchange is the per-query top-k
     window, keyed by query id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),  # once per query, not per pair
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),  # once per corpus row
+    )
+    denom = F.col("__qn") * F.col("__cn")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -82,7 +89,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), score_decimals).alias("score"),
+            F.round(
+                F.when(
+                    denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom
+                ).otherwise(F.lit(0.0)),
+                score_decimals,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -154,11 +166,15 @@ def _lsh_scored(
     seed: int,
     score_fn,
     bucket_fn=bucket_col,
+    precompute_norms: bool = False,
 ) -> DataFrame:
     """Shared LSH candidate generation: multi-table sign buckets with
     optional Hamming-1 multiprobe, scored by ``score_fn`` (the Column
     cosine spec or the Arrow twin); ``bucket_fn`` picks the bucketing
-    implementation (native spec or Arrow matmul)."""
+    implementation (native spec or Arrow matmul).  With
+    ``precompute_norms`` the native path materializes each side's L2
+    norm once per vector before the rehydration join and the per-pair
+    work is only the dot fold (identical values)."""
 
     def table_seed(t: int) -> int:
         return seed + 101 * t
@@ -230,22 +246,32 @@ def _lsh_scored(
     # neighbor_id (column pruning drops the bucket columns from this
     # scan — the corpus is read twice, shuffled never); query vectors
     # via broadcast, same small-side contract as brute_force_topk
+    corp_side = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    if precompute_norms:
+        # norms computed ONCE PER VECTOR on the join inputs (projections
+        # stay below the join), not once per candidate pair — identical
+        # values to cosine()'s inline norms, ~1/3 the interpreted fold
+        # work per pair
+        corp_side = corp_side.withColumn("__cn", l2_norm(F.col("__cv")))
+        q_side = q_side.withColumn("__qn", l2_norm(F.col("__qv")))
+        denom = F.col("__qn") * F.col("__cn")
+        score = F.when(
+            denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom
+        ).otherwise(F.lit(0.0))
+    else:
+        score = score_fn(F.col("__qv"), F.col("__cv"))
     return (
-        pairs.join(corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-        ), on="neighbor_id")
-        .join(
-            F.broadcast(queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-            )),
-            on="query_id",
-        )
+        pairs.join(corp_side, on="neighbor_id")
+        .join(F.broadcast(q_side), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(score_fn(F.col("__qv"), F.col("__cv")), score_decimals).alias(
-                "score"
-            ),
+            F.round(score, score_decimals).alias("score"),
         )
     )
 
@@ -289,6 +315,7 @@ def lsh_topk(
     scored = _lsh_scored(
         queries, corpus, dim, num_bits, id_col, vec_col,
         score_decimals, multiprobe, num_tables, seed, cosine,
+        precompute_norms=True,
     )
     return _topk_of_scored(scored, k)
 
@@ -452,6 +479,7 @@ def ivf_topk(
     assigned = corpus_v.select(
         "neighbor_id",
         "__cv",
+        l2_norm(F.col("__cv")).alias("__cn"),  # once per vector, not per pair
         F.element_at(_cell_structs(F.col("__cv"), centroids), 1)["i"].alias("__cell"),
     )
     probe_cells = F.slice(
@@ -460,15 +488,23 @@ def ivf_topk(
         nprobe,
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).select("query_id", "__qv", F.explode(probe_cells).alias("__cell"))
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    ).select("query_id", "__qv", "__qn", F.explode(probe_cells).alias("__cell"))
+    denom = F.col("__qn") * F.col("__cn")
     scored = (
         q.join(assigned, on="__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), score_decimals).alias("score"),
+            F.round(
+                F.when(
+                    denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom
+                ).otherwise(F.lit(0.0)),
+                score_decimals,
+            ).alias("score"),
         )
     )
     return _topk_of_scored(scored, k)
@@ -1095,19 +1131,31 @@ def embedding_cosine_dedup(
     withb = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),  # once per row, before explode
         F.explode(tables).alias("__tb"),
-    ).select("__id", "__v", F.col("__tb.t").alias("__tbl"), F.col("__tb.b").alias("__bucket"))
+    ).select(
+        "__id", "__v", "__n",
+        F.col("__tb.t").alias("__tbl"), F.col("__tb.b").alias("__bucket"),
+    )
     reps = bucket_representatives(
         withb, ["__tbl", "__bucket"], "__id", candidate_cap
     ).join(
-        withb.select(F.col("__id").alias("__rep_id"), F.col("__v").alias("__rv"))
+        withb.select(
+            F.col("__id").alias("__rep_id"),
+            F.col("__v").alias("__rv"),
+            F.col("__n").alias("__rn"),
+        )
         .dropDuplicates(["__rep_id"]),
         on="__rep_id",
     )
+    denom = F.col("__n") * F.col("__rn")
+    cos = F.when(
+        denom > 0, dot(F.col("__v"), F.col("__rv")) / denom
+    ).otherwise(F.lit(0.0))
     dropped = (
         withb.join(reps, on=["__tbl", "__bucket"])
         .where(F.col("__id") > F.col("__rep_id"))
-        .where(cosine(F.col("__v"), F.col("__rv")) >= threshold)
+        .where(cos >= threshold)
         .select(F.col("__id").alias(id_col))
         .distinct()
     )
@@ -1159,16 +1207,25 @@ def semdedup(
     withc = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),  # once per vector
         F.element_at(_cell_structs(F.col(vec_col), centroids), 1)["i"].alias("__kcell"),
     )
     reps = bucket_representatives(withc, ["__kcell"], "__id", candidate_cap).join(
-        withc.select(F.col("__id").alias("__rep_id"), F.col("__v").alias("__rv")),
+        withc.select(
+            F.col("__id").alias("__rep_id"),
+            F.col("__v").alias("__rv"),
+            F.col("__n").alias("__rn"),
+        ),
         on="__rep_id",
     )
+    denom = F.col("__n") * F.col("__rn")
+    cos = F.when(
+        denom > 0, dot(F.col("__v"), F.col("__rv")) / denom
+    ).otherwise(F.lit(0.0))
     dropped = (
         withc.join(reps, on="__kcell")
         .where(F.col("__id") > F.col("__rep_id"))
-        .where(cosine(F.col("__v"), F.col("__rv")) >= threshold)
+        .where(cos >= threshold)
         .select(F.col("__id").alias(id_col))
         .distinct()
     )
