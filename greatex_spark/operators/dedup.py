@@ -479,12 +479,18 @@ def minhash_lsh_dedup(
     if survivor_join == "anti":
         # ids − survivors: long-only columns end to end; the final anti
         # join's build side is the (small) drop set, so the wide rows
-        # stream through map-side only
+        # stream through map-side only.  The broadcast HINT (not AQE) is
+        # load-bearing: AQE's runtime SMJ→BHJ conversion happens only
+        # after both sides' exchanges are already materialized, so
+        # without the hint the full text rows are still shuffle-WRITTEN
+        # once (measured 126 MB at 480k pages on the 4-executor cluster
+        # — the dedup phase's main scaling drag); with it the planner
+        # never exchanges the wide rows at all
         drops = (
             df.select(F.col(id_col)).distinct()
             .join(reps, on=id_col, how="left_anti")
         )
-        return df.join(drops, on=id_col, how="left_anti")
+        return df.join(F.broadcast(drops), on=id_col, how="left_anti")
     return df.join(reps, on=id_col, how="left_semi")
 
 
