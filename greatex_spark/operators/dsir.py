@@ -54,22 +54,31 @@ def _norm_words(col: Column) -> Column:
 
 def gram_buckets(col: Column, num_buckets: int = 4096) -> Column:
     """Hashed unigram+bigram bucket ids (array<long>, document order:
-    unigrams then bigrams) — DSIR's bag-of-hashed-n-grams features."""
-    words = _norm_words(col)
-    n = F.size(words)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
+    unigrams then bigrams) — DSIR's bag-of-hashed-n-grams features.
+
+    The word list is let-bound: inside interpreted HOFs there is no
+    CSE, so referencing the tokenize expression from the per-position
+    bigram lambda would re-split the text once per position (measured
+    ~20× on the corpus scoring pass)."""
+    from greatex_spark.functions.exprs import let
+
+    def build(ws: Column) -> Column:
+        n = F.size(ws)
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(words, bigrams)
-    return F.transform(
-        grams, lambda g: F.pmod(md5_long(g), F.lit(num_buckets).cast("long"))
-    )
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            F.concat(ws, bigrams),
+            lambda g: F.pmod(md5_long(g), F.lit(num_buckets).cast("long")),
+        )
+
+    return let(_norm_words(col), build)
 
 
 def fit_hashed_lm(
