@@ -52,15 +52,27 @@ def _norm_words(col: Column) -> Column:
     )
 
 
-def gram_buckets(col: Column, num_buckets: int = 4096) -> Column:
+def gram_buckets(
+    col: Column, num_buckets: int = 4096, family: str = "md5"
+) -> Column:
     """Hashed unigram+bigram bucket ids (array<long>, document order:
     unigrams then bigrams) — DSIR's bag-of-hashed-n-grams features.
+
+    ``family`` follows the repo's dedup convention: ``"md5"`` (default)
+    is the oracle-replayable spec hash; ``"xxhash64"`` is the hot path
+    (~3× cheaper inside the interpreted HOF) for production corpora —
+    a different but equally-valid bucketing, so FIT AND SCORE MUST USE
+    THE SAME FAMILY.
 
     The word list is let-bound: inside interpreted HOFs there is no
     CSE, so referencing the tokenize expression from the per-position
     bigram lambda would re-split the text once per position (measured
     ~20× on the corpus scoring pass)."""
     from greatex_spark.functions.exprs import let
+
+    hash_fn = md5_long if family == "md5" else F.xxhash64
+    if family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash family {family!r}")
 
     def build(ws: Column) -> Column:
         n = F.size(ws)
@@ -75,7 +87,7 @@ def gram_buckets(col: Column, num_buckets: int = 4096) -> Column:
         ).otherwise(F.array().cast("array<string>"))
         return F.transform(
             F.concat(ws, bigrams),
-            lambda g: F.pmod(md5_long(g), F.lit(num_buckets).cast("long")),
+            lambda g: F.pmod(hash_fn(g), F.lit(num_buckets).cast("long")),
         )
 
     return let(_norm_words(col), build)
@@ -86,6 +98,7 @@ def fit_hashed_lm(
     text_col: str = "text",
     num_buckets: int = 4096,
     alpha: float = 1.0,
+    family: str = "md5",
 ) -> list[float]:
     """Smoothed multinomial log-probabilities over gram buckets:
     ``log((count_b + α) / (total + α·B))``.  The Spark job returns only
@@ -93,7 +106,9 @@ def fit_hashed_lm(
     ``math.log`` so an oracle fitting from the same parquet produces
     bit-identical literals."""
     rows = (
-        df.select(F.explode(gram_buckets(F.col(text_col), num_buckets)).alias("b"))
+        df.select(
+            F.explode(gram_buckets(F.col(text_col), num_buckets, family)).alias("b")
+        )
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -110,13 +125,14 @@ def log_diff(target_logp: list[float], raw_logp: list[float]) -> list[float]:
 
 
 def dsir_log_weight(
-    col: Column, logdiff: list[float], num_buckets: int = 4096
+    col: Column, logdiff: list[float], num_buckets: int = 4096,
+    family: str = "md5",
 ) -> Column:
     """``Σ_gram logdiff[bucket(gram)]`` — 0.0-seeded sequential fold in
     document gram order (empty document → 0.0)."""
     diff_arr = F.lit([float(x) for x in logdiff])
     return F.aggregate(
-        gram_buckets(col, num_buckets),
+        gram_buckets(col, num_buckets, family),
         F.lit(0.0),
         lambda acc, b: acc + F.element_at(diff_arr, (b + 1).cast("int")),
     )
@@ -131,6 +147,7 @@ def dsir_sample(
     text_col: str = "text",
     num_buckets: int = 4096,
     key_decimals: int = 9,
+    family: str = "md5",
 ) -> DataFrame:
     """Gumbel top-``n`` importance resampling without replacement:
     adds ``dsir_logw`` (rounded log importance weight) and ``dsir_key``
@@ -138,7 +155,7 @@ def dsir_sample(
     highest keys.  Deterministic; replay with
     :func:`dsir_sample_duckdb_sql`."""
     diff = log_diff(target_logp, raw_logp)
-    logw = dsir_log_weight(F.col(text_col), diff, num_buckets)
+    logw = dsir_log_weight(F.col(text_col), diff, num_buckets, family)
     u = (md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(TWO_POW_60)
     key = F.round(logw - F.log(-F.log(u)), key_decimals)
     return (

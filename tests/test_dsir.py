@@ -96,3 +96,24 @@ def test_sample_topn_is_take_ordered_not_global_sort(spark, corpus):
     # bounded per-partition heads + single merge, never a full sort
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_xxhash64_hot_path_family(spark, corpus):
+    """The xxhash64 hot-path family: buckets stay in [0, B) (xxhash64
+    is SIGNED — pmod, not %), fit+score compose, and the sampler still
+    strongly enriches the target; md5 spec results are untouched."""
+    target = fit_hashed_lm(
+        corpus.where(F.col("kind") == "t"), num_buckets=B, family="xxhash64"
+    )
+    raw = fit_hashed_lm(corpus, num_buckets=B, family="xxhash64")
+    bs = corpus.select(
+        F.explode(gram_buckets(F.col("text"), B, "xxhash64")).alias("b")
+    ).agg(F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= bs[0] <= bs[1] < B
+    out = dsir_sample(corpus, target, raw, n=50, num_buckets=B, family="xxhash64")
+    kinds = [r.kind for r in out.collect()]
+    assert kinds.count("t") >= 35
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gram_buckets(F.col("text"), B, "sha1")
