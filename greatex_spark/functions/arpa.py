@@ -71,8 +71,11 @@ class ArpaModel:
     def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
         toks = [self._known(w) for w in sentence.split()]
         if eos:
-            toks = toks + ["</s>"]
-        hist = "<s>" if bos else None
+            # route the sentinel through the OOV map too: an ARPA file
+            # that lacks a </s> unigram must degrade to <unk>, not raise
+            # an opaque KeyError mid-scoring on an executor
+            toks = toks + [self._known("</s>")]
+        hist = self._known("<s>") if bos else None
         total = 0.0
         for w in toks:
             total += self._cond(hist, w) if hist is not None else self.logp1[w]

@@ -91,6 +91,12 @@ class FastTextBinModel:
         (self.args["t"],) = r.unpack("d")
         if self.args["model"] != MODEL_SUP:
             raise ValueError("only supervised models are supported")
+        # real fastText's version-11 compatibility rule (checkpoint in
+        # FastText::checkModel): v11 supervised files carry stale maxn
+        # bytes that the loader must force to 0, else a loadable model
+        # is misrejected by the subword gate below
+        if version == 11 and self.args["model"] == MODEL_SUP:
+            self.args["maxn"] = 0
         if self.args["maxn"] != 0 or self.args["wordNgrams"] != 1:
             raise ValueError(
                 "subword/word-ngram features (maxn>0 or wordNgrams>1) "

@@ -60,9 +60,12 @@ def _checkpointer(checkpoint_dir: str | None):
 
     def reliable(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None or not str(
-            sc.getCheckpointDir()
-        ).startswith(checkpoint_dir.rstrip("/")):
+        # getCheckpointDir() returns the RESOLVED URI (file:/... or
+        # hdfs://...) with a generated subdir, so compare by substring
+        # of the scheme-less path, not a raw startswith on the user dir
+        current = sc.getCheckpointDir()
+        wanted = checkpoint_dir.rstrip("/").split("://")[-1].lstrip("/")
+        if current is None or wanted not in str(current):
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=True)
 

@@ -156,7 +156,12 @@ def dsir_sample(
     :func:`dsir_sample_duckdb_sql`."""
     diff = log_diff(target_logp, raw_logp)
     logw = dsir_log_weight(F.col(text_col), diff, num_buckets, family)
-    u = (md5_long(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(TWO_POW_60)
+    # +0.5 (not +1) keeps u strictly inside (0, 1): with +1 a hash within
+    # half an ulp of 2^60 rounds u to exactly 1.0, where Spark's
+    # log(-log(1.0)) = log(0) yields NULL (sorts last under desc) while
+    # DuckDB's ln(0) = -inf makes the key +inf (sorts first) — a
+    # cross-engine selection divergence at vanishing probability.
+    u = (md5_long(F.col(id_col).cast("string")) + 0.5) / F.lit(TWO_POW_60)
     key = F.round(logw - F.log(-F.log(u)), key_decimals)
     return (
         df.withColumns(
@@ -235,7 +240,14 @@ def dsir_sample_duckdb_sql(
         f"list_reduce(list_prepend(0.0::DOUBLE, list_transform({_grams_sql(text_col)}, "
         f"g -> ld[1 + ({md5_long_sql('g')} % {num_buckets})])), (a, b) -> a + b)"
     )
-    u = f"(({md5_long_sql(f'CAST({id_col} AS VARCHAR)')} + 1)::DOUBLE / {TWO_POW_60!r})"
+    # +0.5 mirrors dsir_sample: keeps u strictly inside (0, 1) so
+    # ln(-ln(u)) is finite in both engines.  CAST to DOUBLE *before*
+    # the add — a bare `bigint + 0.5` is DECIMAL arithmetic in DuckDB
+    # and would round h+0.5 differently from Spark's double(h) + 0.5.
+    u = (
+        f"((CAST({md5_long_sql(f'CAST({id_col} AS VARCHAR)')} AS DOUBLE)"
+        f" + 0.5) / {TWO_POW_60!r})"
+    )
     return f"""
 WITH diff AS (SELECT {diff_lit} AS ld),
 scored AS (
