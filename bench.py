@@ -178,6 +178,7 @@ def main() -> None:
             ivf_topk,
             lsh_topk,
             lsh_topk_arrow,
+            lsh_topk_probe_arrow,
         )
 
         # repartition: the embeddings fixture is a single parquet file →
@@ -204,7 +205,15 @@ def main() -> None:
         )
         recalls: dict[str, float] = {}
         for name, fn in (
-            ("ann_lsh_64q", lambda: lsh_topk(ann_q, emb, dim=64, k=5, num_bits=4, num_tables=4)),
+            # the PRODUCTION 64-query path: probe-restricted single scan
+            # (broadcastable query set), same 4-bit × 4-table family as
+            # the join-based spec — candidates never materialize as rows
+            ("ann_lsh_64q", lambda: lsh_topk_probe_arrow(
+                ann_q, emb, dim=64, k=5, num_bits=4, multiprobe=2, num_tables=4)),
+            # join-based spec paths, retained for the non-broadcastable
+            # regime (huge query sets / dedup self-joins) and as the
+            # oracle-checked semantics (`ann_lsh_topk` in queries())
+            ("ann_lsh_join_64q", lambda: lsh_topk(ann_q, emb, dim=64, k=5, num_bits=4, num_tables=4)),
             ("ann_lsh_arrow_64q", lambda: lsh_topk_arrow(ann_q, emb, dim=64, k=5, num_bits=4, num_tables=4)),
             ("ann_ivf_64q", lambda: ivf_topk(ann_q, emb, k=5, nlist=8, nprobe=6)),
         ):

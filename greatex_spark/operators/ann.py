@@ -616,7 +616,14 @@ def _probe_scan_topk(
     cell's members against only the queries probing that cell, merges
     to per-query top-(k+1) leaders per batch, and a final window merges
     batches — the exchange shape of :func:`brute_force_topk_arrow` at
-    ~candidate-fraction of its FLOPs."""
+    ~candidate-fraction of its FLOPs.
+
+    ``assign_np`` may return shape ``(rows,)`` (one cell per row — IVF,
+    single-table LSH) or ``(rows, T)`` (T independent cell namespaces —
+    multi-table LSH; the caller offsets each table's cell ids so they
+    never collide).  A (query, neighbor) pair surfacing from several
+    tables is collapsed to one row inside the batch merge, so the
+    downstream window ranks each candidate exactly once."""
     import pandas as pd
 
     def score_batches(batches):
@@ -628,32 +635,36 @@ def _probe_scan_topk(
             c_norm = np.linalg.norm(cm, axis=1)
             c_zero = c_norm == 0.0
             cn = cm / np.where(c_zero, 1.0, c_norm)[:, None]
-            cells = assign_np(cm)
+            cells_mat = np.asarray(assign_np(cm))
+            if cells_mat.ndim == 1:
+                cells_mat = cells_mat[:, None]
             parts = []
-            for cell in np.unique(cells):
-                qidx = cell_queries.get(int(cell))
-                if qidx is None or len(qidx) == 0:
-                    continue
-                member = cells == cell
-                sub_ids = ids[member]
-                scores = cn[member] @ qn[qidx].T  # (members, probing-qs)
-                scores[c_zero[member], :] = 0.0
-                scores[:, q_zero[qidx]] = 0.0
-                kk = min(k + 1, len(sub_ids))
-                top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
-                n_q = scores.shape[1]
-                parts.append(
-                    (
-                        np.repeat(q_ids[qidx], kk),
-                        sub_ids[top.T.reshape(-1)],
-                        np.round(
-                            scores[
-                                top.T.reshape(-1), np.repeat(np.arange(n_q), kk)
-                            ],
-                            score_decimals,
-                        ),
+            for t in range(cells_mat.shape[1]):
+                cells = cells_mat[:, t]
+                for cell in np.unique(cells):
+                    qidx = cell_queries.get(int(cell))
+                    if qidx is None or len(qidx) == 0:
+                        continue
+                    member = cells == cell
+                    sub_ids = ids[member]
+                    scores = cn[member] @ qn[qidx].T  # (members, probing-qs)
+                    scores[c_zero[member], :] = 0.0
+                    scores[:, q_zero[qidx]] = 0.0
+                    kk = min(k + 1, len(sub_ids))
+                    top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+                    n_q = scores.shape[1]
+                    parts.append(
+                        (
+                            np.repeat(q_ids[qidx], kk),
+                            sub_ids[top.T.reshape(-1)],
+                            np.round(
+                                scores[
+                                    top.T.reshape(-1), np.repeat(np.arange(n_q), kk)
+                                ],
+                                score_decimals,
+                            ),
+                        )
                     )
-                )
             if not parts:
                 continue
             # batch-level leader merge: without it the stage emits
@@ -666,6 +677,11 @@ def _probe_scan_topk(
             s_all = np.concatenate([p[2] for p in parts])
             order = np.lexsort((n_all, -s_all, q_all))
             q_s, n_s, s_s = q_all[order], n_all[order], s_all[order]
+            # drop duplicate (query, neighbor) pairs (multi-table hits):
+            # identical vectors score identically, so duplicates are
+            # adjacent under the (query, -score, neighbor) order
+            uniq = np.r_[True, (q_s[1:] != q_s[:-1]) | (n_s[1:] != n_s[:-1])]
+            q_s, n_s, s_s = q_s[uniq], n_s[uniq], s_s[uniq]
             starts = np.flatnonzero(np.r_[True, q_s[1:] != q_s[:-1]])
             sizes = np.diff(np.r_[starts, len(q_s)])
             rank = np.arange(len(q_s)) - np.repeat(starts, sizes)
@@ -731,6 +747,7 @@ def lsh_topk_probe_arrow(
     k: int = 5,
     num_bits: int = 16,
     multiprobe: int = 1,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int = 6,
@@ -746,34 +763,53 @@ def lsh_topk_probe_arrow(
     here candidates never materialize as rows.  Each query probes its
     own bucket plus every bucket at Hamming distance ≤ ``multiprobe``
     (driver-side bit flips on the query buckets); the corpus scan
-    scores each bucket's members against the queries probing it.  Keep
-    the join-based variant for the non-broadcastable regime (huge query
+    scores each bucket's members against the queries probing it.
+
+    ``num_tables`` unions candidates from T independent hyperplane sets
+    (same ``seed + 101*t`` convention as the join path) — the recall
+    lever for weakly-clustered vectors, where any single sign-bucket
+    table misses true neighbors: the corpus is still scanned ONCE, each
+    batch assigned to all T tables' cells in one (rows, T) matmul, and
+    a pair surfacing from several tables is scored once.  Keep the
+    join-based variant for the non-broadcastable regime (huge query
     sets, dedup self-joins)."""
-    planes = np.array(_projection_matrix(dim, num_bits, seed), dtype=np.float64)
+    planes_t = [
+        np.array(_projection_matrix(dim, num_bits, seed + 101 * t), dtype=np.float64)
+        for t in range(num_tables)
+    ]
 
     q_ids, qm, q_zero, qn = _query_matrix(queries, id_col, vec_col)
-    qb = _sign_buckets_np(qm, planes)
     probe_sets: dict[int, set[int]] = {}
-    for qi, b in enumerate(qb):
-        bs = {int(b)}
-        if multiprobe >= 1:
-            bs |= {int(b) ^ (1 << i) for i in range(num_bits)}
-        if multiprobe >= 2:
-            bs |= {
-                int(b) ^ (1 << i) ^ (1 << j)
-                for i in range(num_bits)
-                for j in range(i + 1, num_bits)
-            }
-        for bb in bs:
-            probe_sets.setdefault(bb, set()).add(qi)
+    for t, planes in enumerate(planes_t):
+        offset = t << num_bits
+        for qi, b in enumerate(_sign_buckets_np(qm, planes)):
+            bs = {int(b)}
+            if multiprobe >= 1:
+                bs |= {int(b) ^ (1 << i) for i in range(num_bits)}
+            if multiprobe >= 2:
+                bs |= {
+                    int(b) ^ (1 << i) ^ (1 << j)
+                    for i in range(num_bits)
+                    for j in range(i + 1, num_bits)
+                }
+            for bb in bs:
+                probe_sets.setdefault(offset + bb, set()).add(qi)
     cell_queries = {
         b: np.fromiter(sorted(s), dtype=np.int64) for b, s in probe_sets.items()
     }
+
+    def assign(cm: np.ndarray) -> np.ndarray:
+        return np.stack(
+            [
+                _sign_buckets_np(cm, planes) + (t << num_bits)
+                for t, planes in enumerate(planes_t)
+            ],
+            axis=1,
+        )
+
     return _probe_scan_topk(
         corpus, k, id_col, vec_col, score_decimals,
-        q_ids, qn, q_zero,
-        lambda cm: _sign_buckets_np(cm, planes),
-        cell_queries,
+        q_ids, qn, q_zero, assign, cell_queries,
     )
 
 

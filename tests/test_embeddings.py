@@ -99,6 +99,58 @@ def test_lsh_probe_arrow_recall(spark, emb, exact_pairs):
     assert recall >= 0.9, recall
 
 
+def test_lsh_probe_arrow_multitable_full_coverage_equals_exact(spark, emb, exact_pairs):
+    """num_bits=2 with multiprobe=2 probes all 4 buckets of every table,
+    so with ANY number of tables the candidate set is the whole corpus
+    and the result must equal brute force exactly — which also proves
+    the multi-table (query, neighbor) dedup: a duplicate surviving the
+    batch merge would displace a true neighbor from some top-k."""
+    q = emb.where(F.col("vec_id") < 64)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk_probe_arrow(
+            q, emb, dim=DIM, k=5, num_bits=2, multiprobe=2, num_tables=3
+        ).collect()
+    }
+    assert got == exact_pairs
+
+
+def test_lsh_probe_arrow_multitable_ranks_distinct(spark, emb):
+    """Multi-table output has exactly one row per (query, rank), ranks
+    are 1..k, and neighbors within a query are distinct."""
+    q = emb.where(F.col("vec_id") < 8)
+    rows = lsh_topk_probe_arrow(
+        q, emb, dim=DIM, k=5, num_bits=4, multiprobe=1, num_tables=4
+    ).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in per_q.items():
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1)), qid
+        assert len({r.neighbor_id for r in rs}) == len(rs), qid
+
+
+def test_lsh_probe_arrow_multitable_beats_single_table_recall(spark, emb, exact_pairs):
+    """The recall lever the parameter exists for: at equal bits, 4
+    tables strictly dominate 1 table's candidate set (table 0 shares
+    the seed), so recall is monotonically ≥ — and on this corpus
+    strictly better."""
+    q = emb.where(F.col("vec_id") < 64)
+
+    def recall(T):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk_probe_arrow(
+                q, emb, dim=DIM, k=5, num_bits=8, multiprobe=1, num_tables=T
+            ).collect()
+        }
+        return len(exact_pairs & got) / len(exact_pairs)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.9, (r1, r4)
+
+
 def test_candidate_fraction_instrumentation(spark, emb):
     """assign_cells_arrow + the probe map reproduce the exact fraction
     of (query, corpus) pairs the IVF scan scores — and with a partial
