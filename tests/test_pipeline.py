@@ -192,3 +192,86 @@ def test_missing_bronze_requires_source(spark, tmp_path):
     catalog = Catalog(str(tmp_path / "lake3"))
     with pytest.raises(ValueError, match="source_df required"):
         run_pipeline(spark, catalog, epoch=3)
+
+
+def test_kill_mid_gold_write_then_resume(spark, tmp_path, pages, completed):
+    """REAL failure injection for the reference's depends_on_past
+    recovery semantics (dags/retail_data_pipeline.py:14): a separate
+    driver process runs the pipeline and is SIGKILLed (whole process
+    group, JVM included) the moment the gold snapshot directory
+    appears — i.e. mid-parquet-write, before the manifest pointer
+    flip.  The partial snapshot must NOT be visible as committed, and
+    a resume=True run in a fresh session must replace it and produce a
+    gold table identical to an uninterrupted run's."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    import greatex_spark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(greatex_spark.__file__)))
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    pages.write.parquet(src)
+    child = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repo!r})
+        from greatex_spark.session import get_spark
+        from greatex_spark.tables import Catalog
+        from greatex_spark.pipeline.runner import run_pipeline
+        spark = get_spark(master="local[4]", app_name="kill-victim")
+        run_pipeline(spark, Catalog({lake!r}), epoch=5,
+                     source_df=spark.read.parquet({src!r}), run_name="victim")
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, preexec_fn=os.setsid,
+    )
+    gold_snap = os.path.join(lake, GOLD, "snapshot=5")
+    deadline = time.time() + 600
+    killed = False
+    try:
+        while time.time() < deadline and proc.poll() is None:
+            if os.path.exists(gold_snap):
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                killed = True
+                break
+            time.sleep(0.001)
+    finally:
+        if not killed:
+            out, err = b"", b""
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                out, err = proc.communicate(timeout=30)
+            except Exception:
+                pass
+            pytest.fail(
+                f"gold write never started (rc={proc.poll()}):\n"
+                f"{err.decode(errors='replace')[-2000:]}"
+            )
+    proc.wait(timeout=30)
+
+    catalog = Catalog(lake)
+    # the kill landed after the snapshot dir appeared but before the
+    # manifest flip: partial bytes on disk, nothing committed
+    assert os.path.exists(gold_snap)
+    assert not catalog.has_epoch(GOLD, 5)
+    # upstream stages committed before the crash are reused by resume
+    assert catalog.has_epoch(BRONZE, 5)
+
+    result = run_pipeline(spark, catalog, epoch=5, run_name="resumed", resume=True)
+    assert result.counts[KEPT] > 0
+    assert catalog.has_epoch(GOLD, 5)
+
+    def table_sig(cat, epoch):
+        df = cat.read_snapshot(spark, GOLD, epoch)
+        cols = [F.col(c) for c in df.columns]
+        return df.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64(*cols)).alias("h")
+        ).collect()[0]
+
+    ref_catalog, _ = completed
+    assert table_sig(catalog, 5) == table_sig(ref_catalog, 1)

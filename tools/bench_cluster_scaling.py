@@ -16,9 +16,22 @@ The driver ships ``greatex_spark`` to executors as a zip via
 silver snapshot → keep-filter → MinHash dedup → gold) over the
 IDENTICAL bronze parquet input at both sizes.
 
+INTERLEAVED PAIRED PROTOCOL (round 5): the sandbox host's capacity
+drifts on a minutes timescale, and any protocol that measures the two
+levels far apart lets one loaded window depress ONE end of the ratio —
+round 4's best-of-five runs spanned raw 0.643–0.804 for identical
+code.  So the harness now runs ≥3 PAIRS of adjacent (1-executor,
+4-executor) passes, alternating the within-pair order across pairs to
+cancel linear drift, computes the raw efficiency ratio WITHIN each
+pair (both ends of a ratio see the same host window), and reports the
+MEDIAN of the per-pair ratios as the headline — one noisy window can
+no longer manufacture or destroy a pass.  A quick pinned busy-loop
+ceiling is sampled inside every pair to attribute any residual to host
+contention stage-by-stage.
+
 Writes BENCH_CLUSTER_SCALING.json.
 
-Usage: python tools/bench_cluster_scaling.py [n_pages]
+Usage: python tools/bench_cluster_scaling.py [n_pages] [n_pairs]
 """
 
 from __future__ import annotations
@@ -92,14 +105,17 @@ def run_once(src, tag):
     t2 = time.perf_counter()
     return t1 - t0, t2 - t1
 
+n_timed = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 warm = spark.read.parquet(bronze_path).limit(5000).localCheckpoint()
 run_once(warm, "w"); run_once(warm, "w")
 # full-input warmups: executor JITs + the Python-worker pools need
 # several passes to reach steady state (observed slow ramp on the
 # UDF stages); steady-state is what a long-running 10^12-doc job sees
-run_once(bronze, "t"); run_once(bronze, "t")
+run_once(bronze, "t")
+if n_timed >= 3:
+    run_once(bronze, "t")
 times, stage_times = [], []
-for _ in range(3):
+for _ in range(n_timed):
     time.sleep(2)
     t0 = time.perf_counter()
     ts, tg = run_once(bronze, "t")
@@ -147,6 +163,28 @@ def hardware_cpu_scaling() -> dict:
     }
 
 
+def quick_cpu_sample() -> dict:
+    """One busy-loop rep per level (8 then 32 pinned processes) — the
+    fast per-pair host-window probe (~8 s), as opposed to the
+    best-of-3 final ceiling of :func:`hardware_cpu_scaling`."""
+    out = {}
+    for n in (8, 32):
+        t0 = time.perf_counter()
+        procs = []
+        for i in range(n):
+            cmd = [sys.executable, "-c", BUSY]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", str(i % 32)] + cmd
+            procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL))
+        for p in procs:
+            p.wait()
+        out[n] = n * 30_000_000 / (time.perf_counter() - t0)
+    return {
+        "pure_cpu_speedup_8_to_32": round(out[32] / out[8], 3),
+        "pure_cpu_efficiency": round(out[32] / out[8] / 4.0, 3),
+    }
+
+
 def spark_class(*args: str, taskset: str | None = None) -> subprocess.Popen:
     cmd = [os.path.join(SPARK_HOME, "bin", "spark-class"), *args]
     if taskset and shutil.which("taskset"):
@@ -168,7 +206,13 @@ def stop(proc: subprocess.Popen) -> None:
             pass
 
 
-def run_level(bronze_path: str, n_workers: int, n_pages: int, workdir: str) -> dict:
+def run_level(
+    bronze_path: str,
+    n_workers: int,
+    n_pages: int,
+    workdir: str,
+    n_timed: int = 3,
+) -> dict:
     workers = []
     for i in range(n_workers):
         cores = f"{8 * i}-{8 * i + 7}"
@@ -190,7 +234,8 @@ def run_level(bronze_path: str, n_workers: int, n_pages: int, workdir: str) -> d
         with tempfile.TemporaryDirectory(prefix=f"cluster{n_workers}_", dir=TMPDIR) as tmp:
             script = DRIVER.format(repo=REPO, master=MASTER_URL)
             out = subprocess.run(
-                [sys.executable, "-c", script, bronze_path, str(8 * n_workers), tmp],
+                [sys.executable, "-c", script, bronze_path,
+                 str(8 * n_workers), tmp, str(n_timed)],
                 capture_output=True, text=True, timeout=2400, env=ENV,
             )
             for line in out.stdout.splitlines():
@@ -238,8 +283,12 @@ def run_level(bronze_path: str, n_workers: int, n_pages: int, workdir: str) -> d
         time.sleep(3)
 
 
+PHASES = ("featurize_silver_write", "dedup_gold_write")
+
+
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     master = spark_class(
         "org.apache.spark.deploy.master.Master",
         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8089",
@@ -259,69 +308,92 @@ def main() -> None:
             subprocess.run(
                 [sys.executable, "-c", gen], check=True, capture_output=True, timeout=900
             )
-            # TWO passes over the executor counts (1,2,4 then 1,4): the
-            # host's capacity drifts on a minutes timescale, and a
-            # single sequential sweep lets one noisy window depress one
-            # END of the ratio (observed: the identical featurize phase
-            # measured 0.915 vs 0.71 efficiency in back-to-back sweeps).
-            # Min-per-level across bracketing passes estimates each
-            # level's calm-window steady state.
+            # ≥3 interleaved pairs of adjacent (1-exec, 4-exec) passes,
+            # within-pair order alternating across pairs so a linear
+            # host drift inflates and deflates ratios symmetrically.
+            # Each pass is the short profile (2 timed runs, min-of-2,
+            # after small + full warmups) to keep a whole pair inside
+            # one minutes-scale host window; the ratio is computed
+            # WITHIN the pair, so both of its ends share that window.
+            pairs = []
             passes = []
-            for pass_no, lv in enumerate(((1, 2, 4), (1, 4))):
-                for n in lv:
-                    r = run_level(bronze_path, n, n_pages, btmp)
-                    r["pass"] = pass_no
+            for i in range(n_pairs):
+                order = (1, 4) if i % 2 == 0 else (4, 1)
+                res: dict[int, dict] = {}
+                for n in order:
+                    r = run_level(bronze_path, n, n_pages, btmp, n_timed=2)
+                    r["pair"] = i
                     passes.append(r)
-            merged: dict[int, dict] = {}
-            for r in passes:
-                n = r["executors"]
-                if n not in merged or r["min_sec"] < merged[n]["min_sec"]:
-                    merged[n] = dict(r)
-            for n, m in merged.items():
-                m["stage_sec_min"] = {
-                    ph: min(
-                        r["stage_sec_min"][ph]
-                        for r in passes
-                        if r["executors"] == n
-                    )
-                    for ph in ("featurize_silver_write", "dedup_gold_write")
-                }
-            low, mid, high = merged[1], merged[2], merged[4]
-            levels = [low, mid, high]
+                    res[n] = r
+                cpu = quick_cpu_sample()
+                speedup = res[1]["min_sec"] / res[4]["min_sec"]
+                pairs.append({
+                    "pair": i,
+                    "order": list(order),
+                    "sec_1_exec": res[1]["min_sec"],
+                    "sec_4_exec": res[4]["min_sec"],
+                    "docs_per_sec_1_exec": res[1]["docs_per_sec"],
+                    "docs_per_sec_4_exec": res[4]["docs_per_sec"],
+                    "speedup": round(speedup, 3),
+                    "efficiency_raw": round(speedup / 4.0, 3),
+                    "efficiency_by_stage": {
+                        ph: round(
+                            res[1]["stage_sec_min"][ph]
+                            / res[4]["stage_sec_min"][ph] / 4.0, 3,
+                        )
+                        for ph in PHASES
+                    },
+                    "host_window_cpu": cpu,
+                    "efficiency_vs_window_ceiling": round(
+                        speedup / cpu["pure_cpu_speedup_8_to_32"], 3
+                    ),
+                })
     finally:
         stop(master)
 
     hw = hardware_cpu_scaling()
-    speedup = low["min_sec"] / high["min_sec"]
-    eff = speedup / 4.0
-    eff_norm = speedup / hw["pure_cpu_speedup_8_to_32"]
-    stage_eff = {
-        phase: round(
-            low["stage_sec_min"][phase] / high["stage_sec_min"][phase] / 4.0, 3
-        )
-        for phase in ("featurize_silver_write", "dedup_gold_write")
+    effs = sorted(p["efficiency_raw"] for p in pairs)
+    med_eff = statistics.median(effs)
+    med_stage = {
+        ph: round(statistics.median(p["efficiency_by_stage"][ph] for p in pairs), 3)
+        for ph in PHASES
+    }
+    med_norm = statistics.median(p["efficiency_vs_window_ceiling"] for p in pairs)
+    best = {
+        n: min((r for r in passes if r["executors"] == n), key=lambda r: r["min_sec"])
+        for n in (1, 4)
     }
     result = {
         "job": "end-to-end pages pipeline (featurize + keep/drop + scrub + MinHash dedup)",
         "cluster": "Spark standalone on localhost; each executor an independent "
                    "8-core JVM pinned to its own physical cores; package shipped "
                    "via spark.submit.pyFiles (spark-submit --py-files equivalent)",
+        "protocol": "interleaved paired: each of the pairs runs 1-exec and 4-exec "
+                    "back-to-back (order alternating across pairs), the efficiency "
+                    "ratio is computed within the pair, and the headline is the "
+                    "MEDIAN of per-pair ratios — a single loaded host window can "
+                    "shift one pair's ratio but not the median of three",
         "input_pages": n_pages,
-        "levels": levels,
+        "n_pairs": n_pairs,
+        "pairs": pairs,
         "all_passes_raw": passes,
-        "speedup_1_to_2_executors": round(low["min_sec"] / mid["min_sec"], 3),
-        "speedup_1_to_4_executors": round(speedup, 3),
-        "scaling_efficiency_raw": round(eff, 3),
-        "scaling_efficiency_by_stage": stage_eff,
+        "per_pair_efficiency_raw": effs,
+        "scaling_efficiency_raw": round(med_eff, 3),
+        "scaling_efficiency_raw_estimator": "median of per-pair ratios",
+        "scaling_efficiency_by_stage": med_stage,
+        "best_docs_per_sec": {
+            "1_executor": best[1]["docs_per_sec"],
+            "4_executors": best[4]["docs_per_sec"],
+        },
         "hardware_baseline": hw,
-        "scaling_efficiency_vs_hardware_ceiling": round(eff_norm, 3),
+        "scaling_efficiency_vs_hardware_ceiling": round(med_norm, 3),
         "criterion": "efficiency >= 0.8 between N and 4N executors; this VM's own "
                      "pure-CPU parallel ceiling (independent pinned busy-loop "
                      "processes, no shared state) is reported alongside — the "
-                     "engine cannot out-scale the host, so the normalized figure "
-                     "is the meaningful one in this sandbox",
-        "pass_raw": eff >= 0.8,
-        "pass_vs_hardware": eff_norm >= 0.8,
+                     "engine cannot out-scale the host, so per-pair window "
+                     "ceilings attribute any shortfall",
+        "pass_raw": med_eff >= 0.8,
+        "pass_vs_hardware": med_norm >= 0.8,
     }
     with open(os.path.join(REPO, "BENCH_CLUSTER_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)

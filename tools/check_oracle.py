@@ -6,11 +6,16 @@ count, column names, and values (columns sorted by name, rows sorted,
 exact equality — floats compared bitwise after normalizing NaN).
 
 Usage: python tools/check_oracle.py [query ...]
+Env:   GREATEX_ORACLE_SF_DIR (default /root/testdata/sf0.01) — run at a
+       second scale factor (e.g. sf0.1) to catch partition-count-
+       dependent nondeterminism the single-partition fixtures hide;
+       GREATEX_ORACLE_JSON — also write per-query results to this path.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -22,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from greatex_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("GREATEX_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -99,6 +104,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -106,15 +112,18 @@ def main() -> int:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            report[name] = {"match": False, "err": f"spark {type(ex).__name__}: {ex}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(sdf)} rows)")
+            report[name] = {"match": True, "rows": len(sdf), "rows_only": True}
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
+            report[name] = {"match": False, "err": f"duckdb {type(ex).__name__}: {ex}"}
             failures += 1
             continue
         problems = compare(name, sdf, ddf)
@@ -123,9 +132,20 @@ def main() -> int:
             print(f"FAIL  {name}:")
             for p in problems:
                 print(f"      {p}")
+            report[name] = {"match": False, "rows": len(sdf), "problems": problems}
         else:
             print(f"OK    {name}: {len(sdf)} rows match")
+            report[name] = {"match": True, "rows": len(sdf)}
     print(f"\n{failures} failures")
+    json_path = os.environ.get("GREATEX_ORACLE_JSON")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {"sf_dir": SF_DIR, "failures": failures, "queries": report},
+                f, indent=2,
+            )
     return 1 if failures else 0
 
 
