@@ -12,17 +12,21 @@ PUBLIC fastText model serialization (facebookresearch/fastText,
 k=1)`` contract the seam's UDF body calls on a real
 ``fasttext.load_model`` object.  A tiny supervised model written by
 :func:`write_fasttext_bin` is byte-level loadable by the real
-``fasttext`` package; conversely this reader loads any unquantized
-supervised ``.bin`` (e.g. ``lid.176.bin``) whose subword/word-ngram
-features are disabled (``minn=maxn=0``, ``wordNgrams=1`` — the
-configuration our writer emits; richer models raise rather than
-mis-score).
+``fasttext`` package; conversely this reader loads any unquantized,
+unpruned supervised ``.bin`` — including subword models like a real
+``lid.176.bin``: character n-gram features (``minn..maxn``) are
+hashed with fastText's signed-char FNV-1a into ``bucket`` input rows
+exactly as ``dictionary.cc`` (``hash``/``computeSubwords``/
+``initNgrams``) does, so in-vocabulary tokens contribute their word
+row plus their n-gram rows and OOV tokens contribute n-gram rows
+alone.  Word n-grams (``wordNgrams > 1``) remain out of scope and
+raise rather than mis-score.
 
 Scoring follows the supervised softmax path: the hidden vector is the
-mean of the input-matrix rows of in-vocabulary tokens (the trailing
-``</s>`` fastText appends to every line included, when in vocabulary;
-OOV tokens contribute nothing at ``maxn=0``), and label probabilities
-are ``softmax(output @ hidden)``.
+mean of the input-matrix rows of every token's ids (the trailing
+``</s>`` fastText appends to every line included, when in vocabulary —
+EOS never gets subwords), and label probabilities are
+``softmax(output @ hidden)``.
 """
 
 from __future__ import annotations
@@ -44,6 +48,47 @@ _ARGS_INT_FIELDS = (
     "dim", "ws", "epoch", "minCount", "neg", "wordNgrams",
     "loss", "model", "bucket", "minn", "maxn", "lrUpdateRate",
 )
+
+
+def ft_hash(s: str) -> int:
+    """fastText's dictionary hash (``dictionary.cc Dictionary::hash``):
+    FNV-1a over the UTF-8 bytes, with each byte passed through an
+    ``int8_t`` cast before widening — bytes ≥ 0x80 are SIGN-EXTENDED
+    into the uint32 xor (a deliberate quirk of the original; a plain
+    FNV-1a would bucket every non-ASCII n-gram differently)."""
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        h ^= b if b < 0x80 else (b - 256) & 0xFFFFFFFF
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def compute_subwords(word: str, minn: int, maxn: int) -> list[str]:
+    """Character n-grams of ``<word>`` (BOW/EOW added by the caller's
+    convention here: this function adds them), lengths ``minn..maxn``,
+    walking UTF-8 character boundaries byte-wise exactly like
+    ``dictionary.cc Dictionary::computeSubwords`` — continuation bytes
+    (``0b10xxxxxx``) never start an n-gram and always ride along with
+    their character; single-character n-grams touching either boundary
+    are skipped (the ``n == 1 && (i == 0 || j == size)`` rule)."""
+    bw = ("<" + word + ">").encode("utf-8")
+    size = len(bw)
+    out: list[str] = []
+    for i in range(size):
+        if (bw[i] & 0xC0) == 0x80:
+            continue
+        j, n = i, 1
+        ngram = bytearray()
+        while j < size and n <= maxn:
+            ngram.append(bw[j])
+            j += 1
+            while j < size and (bw[j] & 0xC0) == 0x80:
+                ngram.append(bw[j])
+                j += 1
+            if n >= minn and not (n == 1 and (i == 0 or j == size)):
+                out.append(ngram.decode("utf-8"))
+            n += 1
+    return out
 
 
 class _Reader:
@@ -97,13 +142,17 @@ class FastTextBinModel:
         # is misrejected by the subword gate below
         if version == 11 and self.args["model"] == MODEL_SUP:
             self.args["maxn"] = 0
-        if self.args["maxn"] != 0 or self.args["wordNgrams"] != 1:
+        if self.args["wordNgrams"] != 1:
             raise ValueError(
-                "subword/word-ngram features (maxn>0 or wordNgrams>1) "
-                "are out of scope for this minimal reader"
+                "word-ngram features (wordNgrams>1) are out of scope "
+                "for this minimal reader"
             )
         size, nwords, nlabels = r.unpack("iii")
         _ntokens, pruneidx_size = r.unpack("qq")
+        if pruneidx_size > 0:
+            raise ValueError(
+                "pruned (quantize -qnorm) dictionaries are not supported"
+            )
         self.nwords = nwords
         self.word_id: dict[str, int] = {}
         self.labels: list[str] = []
@@ -127,14 +176,30 @@ class FastTextBinModel:
             raise ValueError("quantized output matrices are not supported")
         self.output = r.matrix()
 
+    def _token_ids(self, tok: str) -> list[int]:
+        """Input-matrix row ids for one token, per ``dictionary.cc``:
+        in-vocabulary → the word row plus (when subwords are enabled
+        and the token is not EOS, ``initNgrams``) its character-n-gram
+        bucket rows; OOV → bucket rows alone (``getSubwords``).  Bucket
+        rows live at ``nwords + (hash % bucket)``."""
+        minn, maxn, bucket = self.args["minn"], self.args["maxn"], self.args["bucket"]
+        ids: list[int] = []
+        if tok in self.word_id:
+            ids.append(self.word_id[tok])
+            if maxn == 0 or tok == EOS:
+                return ids
+        elif maxn == 0:
+            return ids
+        ids.extend(
+            self.nwords + (ft_hash(g) % bucket)
+            for g in compute_subwords(tok, minn, maxn)
+        )
+        return ids
+
     def _predict_one(self, text: str, k: int):
         # fastText's python binding appends '\n', so every line carries a
         # trailing EOS token; it scores like any in-vocabulary word
-        ids = [
-            self.word_id[tok]
-            for tok in text.split() + [EOS]
-            if tok in self.word_id
-        ]
+        ids = [i for tok in text.split() + [EOS] for i in self._token_ids(tok)]
         if not ids:
             return [], np.array([])  # the real binding's empty-line result
         hidden = self.input[ids].mean(axis=0)
@@ -165,6 +230,9 @@ def write_fasttext_bin(
     path: str,
     words: dict[str, "list[float] | np.ndarray"],
     labels: dict[str, "list[float] | np.ndarray"],
+    bucket_rows: "np.ndarray | None" = None,
+    minn: int = 0,
+    maxn: int = 0,
 ) -> str:
     """Serialize a tiny supervised model to a spec-conformant ``.bin``
     — the in-sandbox stand-in for ``fasttext supervised`` training, so
@@ -174,17 +242,22 @@ def write_fasttext_bin(
     ``words`` maps vocabulary words to input-matrix rows; ``labels``
     maps ``__label__xx`` names to output-matrix rows.  Dictionary
     order follows fastText's post-``threshold()`` layout: all words
-    first (ids ``0..nwords-1``), then labels."""
+    first (ids ``0..nwords-1``), then labels.  Passing ``bucket_rows``
+    (a ``(bucket, dim)`` matrix) with ``minn``/``maxn`` emits a SUBWORD
+    model: the rows are appended to the input matrix at ids ``nwords +
+    hash%bucket``, exactly where ``lid.176.bin``-style models keep
+    their character-n-gram vectors."""
     word_rows = [np.asarray(v, dtype=np.float32) for v in words.values()]
     label_rows = [np.asarray(v, dtype=np.float32) for v in labels.values()]
     dim = len(word_rows[0])
+    bucket = 0 if bucket_rows is None else int(np.asarray(bucket_rows).shape[0])
     out = bytearray()
     out += struct.pack("<ii", FASTTEXT_MAGIC, FASTTEXT_VERSION)
     args = dict.fromkeys(_ARGS_INT_FIELDS, 0)
     args.update(
         dim=dim, ws=5, epoch=5, minCount=1, neg=5, wordNgrams=1,
-        loss=LOSS_SOFTMAX, model=MODEL_SUP, bucket=0, minn=0, maxn=0,
-        lrUpdateRate=100,
+        loss=LOSS_SOFTMAX, model=MODEL_SUP, bucket=bucket, minn=minn,
+        maxn=maxn, lrUpdateRate=100,
     )
     out += struct.pack("<" + "i" * len(_ARGS_INT_FIELDS),
                        *(args[f] for f in _ARGS_INT_FIELDS))
@@ -196,11 +269,14 @@ def write_fasttext_bin(
         out += name.encode("utf-8") + b"\x00"
         out += struct.pack("<qb", 100, etype)
     out += struct.pack("<b", 0)  # quant_input = false
-    for rows in (word_rows, label_rows):
+    input_rows = word_rows if bucket == 0 else (
+        word_rows + [np.asarray(r, dtype=np.float32) for r in bucket_rows]
+    )
+    for rows in (input_rows, label_rows):
         mat = np.vstack(rows)
         out += struct.pack("<qq", mat.shape[0], mat.shape[1])
         out += mat.astype("<f4").tobytes()
-        if rows is word_rows:
+        if rows is input_rows:
             out += struct.pack("<b", 0)  # qout = false
     with open(path, "wb") as f:
         f.write(bytes(out))

@@ -219,3 +219,132 @@ def test_real_arpa_file_through_seam_end_to_end(spark, tmp_path):
     assert rows["a"] == ccnet_norm("the cat sat")
     assert rows["b"] == ccnet_norm("the cat dog")
     assert rows["c"] is None
+
+
+# ---------------------------------------------------------------------------
+# subword (character-n-gram) fastText models — the lid.176.bin regime
+
+
+def test_ft_hash_matches_fnv1a_with_signed_char_cast():
+    """dictionary.cc's hash is FNV-1a with each byte cast through
+    int8_t before the uint32 xor.  ASCII inputs must equal textbook
+    FNV-1a; non-ASCII must equal an independent sign-extension replay
+    (NOT plain FNV-1a — the quirk is load-bearing for bucket ids)."""
+    from greatex_spark.functions.fasttext_bin import ft_hash
+
+    def fnv1a_textbook(data: bytes) -> int:
+        h = 2166136261
+        for b in data:
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+        return h
+
+    for s in ("a", "abc", "<he", "llo>"):
+        assert ft_hash(s) == fnv1a_textbook(s.encode()), s
+
+    def fnv1a_signed(data: bytes) -> int:
+        h = 2166136261
+        for b in data:
+            sb = b - 256 if b >= 128 else b
+            h = ((h ^ (sb & 0xFFFFFFFF)) * 16777619) & 0xFFFFFFFF
+        return h
+
+    for s in ("é", "<ét", "中文", "ñño"):
+        assert ft_hash(s) == fnv1a_signed(s.encode("utf-8")), s
+        assert ft_hash(s) != fnv1a_textbook(s.encode("utf-8")), s
+
+
+def test_compute_subwords_hand_verified():
+    """Hand-walked dictionary.cc computeSubwords over '<word>': the
+    boundary-1-gram exclusion, the minn..maxn window, and UTF-8
+    continuation bytes riding with their character."""
+    from greatex_spark.functions.fasttext_bin import compute_subwords
+
+    # "<ab>": i=0 → "<ab", "<ab>"; i=1 → "ab>"; i=2/3 too short
+    assert compute_subwords("ab", 3, 4) == ["<ab", "<ab>", "ab>"]
+    # 1-grams at either boundary are skipped; interior 1-grams kept
+    assert compute_subwords("ab", 1, 1) == ["a", "b"]
+    # é is 2 UTF-8 bytes but ONE character position: "<é>" yields
+    # exactly the 3 char-boundary-respecting n-grams of lengths 2..3
+    assert compute_subwords("é", 2, 3) == ["<é", "<é>", "é>"]
+    # maxn=0 disables subwords entirely
+    assert compute_subwords("hello", 0, 0) == []
+
+
+def test_subword_bin_roundtrip_and_oov_scoring(tmp_path):
+    """A written subword .bin loads through the production reader and
+    scores an OUT-OF-VOCABULARY token purely from its n-gram bucket
+    rows — the mechanism that lets a real lid model classify unseen
+    words.  The expected hidden vector is recomputed independently in
+    the test from the raw matrices."""
+    import numpy as np
+
+    from greatex_spark.functions.fasttext_bin import (
+        FastTextBinModel,
+        compute_subwords,
+        ft_hash,
+        write_fasttext_bin,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, bucket, minn, maxn = 8, 32, 2, 4
+    words = {"hello": rng.normal(size=dim), "</s>": rng.normal(size=dim)}
+    labels = {"__label__en": rng.normal(size=dim), "__label__xx": rng.normal(size=dim)}
+    bucket_rows = rng.normal(size=(bucket, dim))
+    path = str(tmp_path / "sub.bin")
+    write_fasttext_bin(path, words, labels, bucket_rows=bucket_rows,
+                       minn=minn, maxn=maxn)
+    m = FastTextBinModel(path)
+    assert m.args["minn"] == minn and m.args["maxn"] == maxn
+    assert m.args["bucket"] == bucket
+
+    # OOV token: ids = bucket rows of its subwords; EOS appends its
+    # word row (no subwords for EOS, per initNgrams)
+    f32 = lambda a: np.asarray(a, dtype=np.float32).astype(np.float64)  # noqa: E731
+    subs = compute_subwords("helo", minn, maxn)
+    assert subs, "test premise: OOV token must have n-grams"
+    rows = [f32(bucket_rows[ft_hash(g) % bucket]) for g in subs]
+    rows.append(f32(words["</s>"]))
+    hidden = np.mean(rows, axis=0)
+    out = np.vstack([f32(labels["__label__en"]), f32(labels["__label__xx"])])
+    scores = out @ hidden
+    probs = np.exp(scores - scores.max())
+    probs = probs / probs.sum()
+    expect_label = ["__label__en", "__label__xx"][int(np.argmax(probs))]
+
+    (lab,), pr = m.predict("helo", k=1)
+    assert lab == expect_label
+    assert abs(pr[0] - probs.max()) < 1e-12
+
+    # in-vocab token contributes word row AND its n-gram rows
+    subs_hello = compute_subwords("hello", minn, maxn)
+    rows2 = [f32(words["hello"])]
+    rows2 += [f32(bucket_rows[ft_hash(g) % bucket]) for g in subs_hello]
+    rows2.append(f32(words["</s>"]))
+    hidden2 = np.mean(rows2, axis=0)
+    scores2 = out @ hidden2
+    probs2 = np.exp(scores2 - scores2.max())
+    probs2 = probs2 / probs2.sum()
+    (lab2,), pr2 = m.predict("hello", k=1)
+    assert lab2 == ["__label__en", "__label__xx"][int(np.argmax(probs2))]
+    assert abs(pr2[0] - probs2.max()) < 1e-12
+
+
+def test_wordless_maxn0_models_unchanged(tmp_path):
+    """Regression guard: maxn=0 models (the previous reader's whole
+    domain) still score word-rows-only — OOV tokens contribute
+    nothing."""
+    import numpy as np
+
+    from greatex_spark.functions.fasttext_bin import (
+        FastTextBinModel,
+        write_fasttext_bin,
+    )
+
+    dim = 4
+    words = {"bonjour": [1.0, 0, 0, 0], "</s>": [0, 0, 0, 0.0]}
+    labels = {"__label__fr": [1.0, 0, 0, 0], "__label__en": [-1.0, 0, 0, 0]}
+    path = str(tmp_path / "plain.bin")
+    write_fasttext_bin(path, words, labels)
+    m = FastTextBinModel(path)
+    (lab,), _ = m.predict("bonjour zzz-oov", k=1)
+    assert lab == "__label__fr"
