@@ -79,6 +79,23 @@ def _shuffle_stats(spark, exclude: set[int]) -> dict | None:
         return None
 
 
+def _shuffle_written(spark) -> int | None:
+    """Cumulative shuffle write bytes over all completed stages — the
+    per-round delta of this is the cc_1m section's per-round shuffle
+    footprint.  None if the UI REST API is off."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            return int(sum(s.get("shuffleWriteBytes", 0) for s in json.load(r)))
+    except Exception:
+        return None
+
+
 def sf_of(sf_dir: str) -> float:
     tag = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -528,6 +545,89 @@ def main() -> None:
             except Exception as ex:  # never let the scale-up probe kill the run
                 pages_1m = {"error": f"{type(ex).__name__}: {ex}"}
 
+        # ---- iterative-operator scale evidence: CC at 1M+ edges -----------
+        # connected_components is the engine's only iterative operator;
+        # the oracle/bench corpora exercise it at hundreds of edges only.
+        # This section runs it at 1,001,023 edges with the RELIABLE
+        # checkpoint_dir seam active and records what the O(log d) claim
+        # predicts: rounds ~ log2(diameter) (NOT ~ diameter), and
+        # per-round shuffle bytes roughly flat (linear in edges+labels,
+        # not growing with the closure) — measured through the on_round
+        # seam + the UI REST API.  Topology is deterministic: 250,000
+        # 5-node chains (the realistic dense-near-dup regime, 1M edges)
+        # plus ONE 1,024-edge path whose diameter forces the doubling
+        # behavior to show itself.
+        cc_1m = None
+        n_cc = int(os.environ.get(
+            "GREATEX_BENCH_CC_1M", "1" if sf >= 0.1 else "0"
+        ))
+        if n_cc and sum(timings.values()) > 420:
+            cc_1m = {"skipped": "bench already at "
+                     f"{round(sum(timings.values()))}s on a slow host"}
+            n_cc = 0
+        if n_cc:
+            try:
+                from greatex_spark.operators.cluster import connected_components
+
+                chains = (
+                    spark.range(1_250_000)
+                    .where((F.col("id") + 1) % 5 != 0)
+                    .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+                )
+                long_path = spark.range(2_000_000, 2_001_024).select(
+                    F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+                )
+                edges = chains.unionByName(long_path)
+                n_edges = 1_000_000 + 1_024
+                rounds: list[dict] = []
+                mark = {"t": None, "shuf": None}
+
+                def on_round(i: int) -> None:
+                    now, shuf = time.perf_counter(), _shuffle_written(spark)
+                    rounds.append({
+                        "round": i,
+                        "sec": round(now - mark["t"], 3),
+                        "shuffle_write_bytes": (
+                            shuf - mark["shuf"]
+                            if shuf is not None and mark["shuf"] is not None
+                            else None
+                        ),
+                    })
+                    mark["t"], mark["shuf"] = now, shuf
+
+                t0 = time.perf_counter()
+                mark["t"], mark["shuf"] = t0, _shuffle_written(spark)
+                cc = connected_components(
+                    edges,
+                    checkpoint_dir=os.path.join(tmp, "cc_ckpt"),
+                    on_round=on_round,
+                )
+                comp_stats = cc.groupBy("component").count().agg(
+                    F.count("*").alias("components"),
+                    F.max("count").alias("largest"),
+                ).first()
+                dt = time.perf_counter() - t0
+                cc_1m = {
+                    "edges": n_edges,
+                    "nodes": 1_251_025,
+                    "diameter": 1_024,
+                    "rounds": len(rounds),
+                    "log2_diameter": 10,
+                    "sec": round(dt, 3),
+                    "edges_per_sec": round(n_edges / dt, 1),
+                    "per_round": rounds,
+                    "components": int(comp_stats["components"]),
+                    "largest_component": int(comp_stats["largest"]),
+                    "topology_check": (
+                        int(comp_stats["components"]) == 250_001
+                        and int(comp_stats["largest"]) == 1_025
+                    ),
+                    "checkpoint": "reliable (checkpoint_dir set)",
+                }
+                timings["cc_1m_edges"] = round(dt, 3)
+            except Exception as ex:  # never let the CC probe kill the run
+                cc_1m = {"error": f"{type(ex).__name__}: {ex}"}
+
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -545,6 +645,7 @@ def main() -> None:
                     "emb_dedup_recall": dedup_recall,
                     "text_dedup_recall": text_dedup_recall,
                     "pages_1m": pages_1m,
+                    "cc_1m": cc_1m,
                     "total_sec": total,
                     "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 }

@@ -78,6 +78,7 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 25,
     checkpoint_dir: str | None = None,
+    on_round=None,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges`` — returns
     ``(node, component)`` where ``component`` is the minimum node id
@@ -91,7 +92,13 @@ def connected_components(
     ``checkpoint_dir`` switches per-round lineage truncation from
     executor-local ``localCheckpoint`` to reliable ``checkpoint()``
     into that directory (survives executor loss — see
-    :func:`_checkpointer`)."""
+    :func:`_checkpointer`).
+
+    ``on_round`` (optional ``Callable[[int], None]``) fires after each
+    round's labels are materialized (checkpoint + convergence probe
+    both complete), with the 1-based round index — a measurement seam
+    for per-round wall/shuffle instrumentation (``bench.py`` cc_1m);
+    the final converged round (the no-change probe round) fires too."""
     ckpt = _checkpointer(checkpoint_dir)
     e = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
@@ -115,7 +122,7 @@ def connected_components(
     prev_sum = label_sum(labels)
     if prev_sum is None:  # no edges at all
         return labels.select("node", F.col("label").alias("component"))
-    for _ in range(max_iters):
+    for _round in range(1, max_iters + 1):
         # propagate min labels through graph edges AND current label
         # links (both directions) — the label links are the doubling
         links = e.unionByName(
@@ -133,6 +140,8 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         new_sum = label_sum(labels)
+        if on_round is not None:
+            on_round(_round)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
