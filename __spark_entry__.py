@@ -1367,7 +1367,13 @@ def _bronze_fixture(sf_dir: str) -> str:
     byte-identical input for the Spark pipeline and its DuckDB twin."""
     import os
 
-    n = 4000 if "0.01" in sf_dir else 1500
+    if "0.001" in sf_dir:
+        n = 1500
+    elif "0.01" in sf_dir:
+        n = 4000
+    else:  # sf0.1 second-scale sweep: larger, multi-file (4 part files
+        # → >1 input partition, so partition-count dependence shows)
+        n = 12000
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", f"bronze_pages_n{n}.parquet",

@@ -168,7 +168,7 @@ def test_bronze_fixture_matches_generator(spark):
     import os
 
     fix_dir = os.path.join(os.path.dirname(__file__), "fixtures")
-    for n in (1500, 4000):
+    for n in (1500, 4000, 12000):
         fixture = spark.read.parquet(
             os.path.join(fix_dir, f"bronze_pages_n{n}.parquet")
         )

@@ -24,6 +24,17 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+# The oracle-SQL builders in __spark_entry__ (bronze fixture path, IVF
+# centroid literals, DSIR LM literals) size themselves from
+# SPARK_GRAFT_ORACLE_SF_DIR at import time.  Propagate this harness's
+# scale factor BEFORE the import, or a second-scale run silently
+# compares a Spark query at sf0.1 against a DuckDB twin built for
+# sf0.01 (the exact mismatch behind the 8 spurious failures in the
+# first sf0.1 sweep).
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = os.environ.get(
+    "GREATEX_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
 import __spark_entry__ as entrymod  # noqa: E402
 from greatex_spark.session import get_spark  # noqa: E402
 

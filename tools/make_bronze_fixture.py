@@ -26,7 +26,7 @@ from greatex_spark.session import get_spark  # noqa: E402
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "fixtures"
 )
-SIZES = (1500, 4000)
+SIZES = (1500, 4000, 12000)
 SEED = 42
 
 
@@ -37,7 +37,13 @@ def main() -> None:
         out = os.path.join(FIXTURE_DIR, f"bronze_pages_n{n}.parquet")
         if os.path.exists(out):
             shutil.rmtree(out)
-        generate_pages(spark, n, seed=SEED).coalesce(1).write.parquet(out)
+        df = generate_pages(spark, n, seed=SEED)
+        # the second-scale fixture is written as 4 part files (hash-
+        # partitioned by url, deterministic) so the Spark read starts
+        # from >1 partition — a single coalesced file would hide
+        # partition-count-dependent bugs the sf0.1 sweep exists to catch
+        df = df.repartition(4, "url") if n > 4000 else df.coalesce(1)
+        df.write.parquet(out)
         # drop the _SUCCESS marker etc. so only part files are committed
         for f in os.listdir(out):
             if not f.endswith(".parquet"):
