@@ -156,7 +156,11 @@ def main() -> None:
             gold = gold_projection(dedup(filter_kept(silver), cfg))
             gold.write.mode("overwrite").parquet(gold_path)
 
-        timed("pages_pipeline", run_pipeline, runs=2)
+        # min-of-3: the headline is the round-over-round comparison
+        # anchor, and run 1 carries JVM/JIT warm-up — the sf0.1 1M-page
+        # run measured a HIGHER docs/s than this 100k one (rate_vs_100k
+        # 1.27), proving the 100k wall is part fixed overhead
+        timed("pages_pipeline", run_pipeline, runs=3)
         docs_per_sec = round(n_pages / timings["pages_pipeline"], 1)
         kept_rows = spark.read.parquet(gold_path).count()
 
