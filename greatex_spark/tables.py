@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,6 +143,66 @@ class Catalog:
             new_epoch,
         )
         return new_epoch
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` committed
+        epochs (Iceberg's ``expire_snapshots`` for the fallback
+        catalog).  A 10^12-document pipeline re-snapshotting silver and
+        gold every checkpoint epoch accretes storage without bound;
+        compaction makes it worse by design (every ``compact`` commits
+        a full extra copy).
+
+        Commit order makes expiry safe for new readers: the manifest is
+        flipped FIRST (so no reader can resolve an expired epoch
+        afterwards), the data directories are removed second.  Like
+        Iceberg, a reader that already planned its scan against an
+        expired epoch is not protected — expire from the maintenance
+        path with a retention window that outlives your longest query.
+        Returns the expired epochs (empty if nothing to do)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        m = self._read_manifest(name)
+        epochs = sorted(m["committed_epochs"])
+        expired = epochs[:-keep_last]
+        if not expired:
+            return []
+        m["committed_epochs"] = epochs[-keep_last:]
+        m["latest"] = max(m["committed_epochs"])
+        self._commit_manifest(name, m)
+        for e in expired:
+            shutil.rmtree(self._snapshot_dir(name, e), ignore_errors=True)
+        return expired
+
+    def remove_orphans(self, name: str, min_age_sec: float = 86_400.0) -> list[int]:
+        """Garbage-collect snapshot directories that are NOT in the
+        manifest — the debris a killed mid-write run leaves behind (the
+        atomic-commit guarantee means a torn write is invisible, not
+        free; see ``tests/test_pipeline.py`` kill-mid-gold-write).
+        Iceberg's ``remove_orphan_files`` equivalent.
+
+        ``min_age_sec`` guards the race with an in-flight writer whose
+        epoch is not committed YET: only directories untouched for that
+        long are deleted (default 1 day, Iceberg-style; tests pass 0).
+        Returns the removed epoch numbers."""
+        m = self._read_manifest(name)
+        committed = set(m["committed_epochs"])
+        tdir = self._table_dir(name)
+        if not os.path.isdir(tdir):
+            return []
+        removed = []
+        now = time.time()
+        for d in os.listdir(tdir):
+            if not d.startswith("snapshot="):
+                continue
+            epoch = int(d.split("=", 1)[1])
+            path = os.path.join(tdir, d)
+            if epoch in committed:
+                continue
+            if now - os.path.getmtime(path) < min_age_sec:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(epoch)
+        return sorted(removed)
 
 
 # ---------------------------------------------------------------------------

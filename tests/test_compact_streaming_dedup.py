@@ -94,3 +94,50 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert not any(u.startswith("dup-") for u in urls)
     # the 5 genuinely fresh pages did come through
     assert len(texts) >= 30
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """expire_snapshots drops all but the newest keep_last epochs:
+    manifest flips first, data directories go second, newer epochs stay
+    fully readable."""
+    import os
+    import pytest
+
+    catalog = Catalog(str(tmp_path))
+    for e in (1, 2, 3):
+        catalog.write_snapshot(spark.range(100 * e), "t", epoch=e)
+
+    assert catalog.expire_snapshots("t", keep_last=2) == [1]
+    assert catalog.latest_epoch("t") == 3
+    assert catalog.read_snapshot(spark, "t", 2).count() == 200
+    assert catalog.read_snapshot(spark, "t", 3).count() == 300
+    with pytest.raises(FileNotFoundError):
+        catalog.read_snapshot(spark, "t", 1)
+    assert not os.path.exists(catalog._snapshot_dir("t", 1))
+    # within retention: no-op
+    assert catalog.expire_snapshots("t", keep_last=2) == []
+    with pytest.raises(ValueError):
+        catalog.expire_snapshots("t", keep_last=0)
+
+
+def test_remove_orphans_collects_torn_writes_only(spark, tmp_path):
+    """remove_orphans deletes uncommitted snapshot debris (what a killed
+    mid-write run leaves), honors the min-age guard, and never touches
+    committed epochs."""
+    import os
+
+    catalog = Catalog(str(tmp_path))
+    catalog.write_snapshot(spark.range(50), "t", epoch=1)
+
+    orphan = catalog._snapshot_dir("t", 9)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn")
+
+    # younger than the age guard: kept (could be an in-flight writer)
+    assert catalog.remove_orphans("t", min_age_sec=3600) == []
+    assert os.path.exists(orphan)
+
+    assert catalog.remove_orphans("t", min_age_sec=0) == [9]
+    assert not os.path.exists(orphan)
+    assert catalog.read_latest(spark, "t").count() == 50
