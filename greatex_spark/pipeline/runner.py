@@ -59,6 +59,7 @@ class PipelineResult:
     validations: dict[str, ValidationResult] = field(default_factory=dict)
     counts: dict[str, int] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
+    maintenance: dict[str, dict[str, list[int]]] = field(default_factory=dict)
 
     def summary(self) -> dict[str, Any]:
         return {
@@ -198,4 +199,20 @@ def run_pipeline(
 
     write_run_report(catalog.root, run_name, epoch, result.validations, result.counts)
     write_data_docs(catalog.root, run_name, epoch, result.validations, result.counts)
+
+    # -- retention (opt-in) ------------------------------------------------
+    # only after every gate of THIS run passed and its epoch is fully
+    # committed: expire staged-table epochs beyond the resume window and
+    # GC torn-write orphan directories.  The append-only metrics/lineage
+    # tables are never expired — they are the audit trail.
+    if config.retain_epochs is not None:
+        for table in (BRONZE, SILVER, KEPT, GOLD):
+            result.maintenance[table] = {
+                "expired_epochs": catalog.expire_snapshots(
+                    table, keep_last=config.retain_epochs
+                ),
+                "orphans_removed": catalog.remove_orphans(
+                    table, min_age_sec=config.orphan_min_age_sec
+                ),
+            }
     return result

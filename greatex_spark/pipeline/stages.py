@@ -85,6 +85,14 @@ class PipelineConfig:
     # regexp extraction) for feeds that ship html only; rows that
     # already carry text keep it — opt-in, default preserves input text
     extract_from_html: bool = False
+    # retention: after a fully-gated run, keep only the newest N epochs
+    # of each staged table (Catalog.expire_snapshots) and GC torn-write
+    # orphans older than orphan_min_age_sec (Catalog.remove_orphans).
+    # None (default) = keep everything; at 10^12-doc scale per-epoch
+    # re-snapshots accrete storage without bound, so production sets
+    # this to its resume window
+    retain_epochs: int | None = None
+    orphan_min_age_sec: float = 86_400.0
 
 
 def featurize(df: DataFrame, config: PipelineConfig) -> DataFrame:

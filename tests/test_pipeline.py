@@ -275,3 +275,23 @@ def test_kill_mid_gold_write_then_resume(spark, tmp_path, pages, completed):
 
     ref_catalog, _ = completed
     assert table_sig(catalog, 5) == table_sig(ref_catalog, 1)
+
+
+def test_retention_expires_old_epochs_after_gated_run(spark, tmp_path, pages):
+    """retain_epochs: after a fully-gated run, staged tables keep only
+    the newest N epochs; the append-only metrics/lineage audit trail is
+    never expired; the retained epoch stays fully readable."""
+    catalog = Catalog(str(tmp_path / "lake"))
+    cfg = PipelineConfig(retain_epochs=1, orphan_min_age_sec=0.0)
+    run_pipeline(spark, catalog, epoch=1, source_df=pages, run_name="m1", config=cfg)
+    r2 = run_pipeline(spark, catalog, epoch=2, source_df=pages, run_name="m2", config=cfg)
+
+    for table in (BRONZE, SILVER, KEPT, GOLD):
+        assert r2.maintenance[table]["expired_epochs"] == [1]
+        assert catalog.latest_epoch(table) == 2
+        assert not catalog.has_epoch(table, 1)
+    assert catalog.read_latest(spark, GOLD).count() > 0
+    # the audit trail survives retention: both runs' metrics are there
+    metrics = catalog.read_latest(spark, "metrics")
+    assert metrics.where(F.col("run_name") == "m1").count() > 0
+    assert metrics.where(F.col("run_name") == "m2").count() > 0
