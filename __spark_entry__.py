@@ -702,6 +702,55 @@ FROM documents
 """
 
 
+def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep only lines
+    ending in terminal punctuation with >= 5 words and no 'javascript',
+    drop pages with < 3 retained lines — one native projection."""
+    from greatex_spark.functions.heuristics import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_line_filter(docs).select(
+        "doc_id", "n_lines", "n_kept_lines", "text_clean", "keep"
+    )
+
+
+def _doc_c4_line_filter_sql() -> str:
+    from greatex_spark.functions.heuristics import c4_line_filter_duckdb_sql
+
+    kept = c4_line_filter_duckdb_sql("text")
+    return f"""
+WITH l AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         {kept} AS kept
+  FROM documents)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+       len(kept) >= 3 AS keep
+FROM l
+"""
+
+
+def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets per language (Wenzek
+    et al. 2020 §4): per-language percentile thresholds from one
+    partial-combinable agg, broadcast back, CASE label — the corpus
+    never shuffles.  Exact-percentile spec here; ``approx=True`` is the
+    10^12-doc sketch path."""
+    from greatex_spark.functions.perplexity import ppl_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ppl_buckets(docs)
+
+
+def _ppl_buckets_sql() -> str:
+    from greatex_spark.functions.perplexity import ppl_buckets_duckdb_sql
+
+    return ppl_buckets_duckdb_sql()
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-stable PII scrub (email→SSN→IP→phone regexp_replace chain);
     a synthetic PII suffix exercises every pattern."""
@@ -1460,6 +1509,85 @@ SELECT url, warc_ts, text, lang, n_tokens FROM __gold
 """
 
 
+def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition funnel over the gated pipeline (the
+    observability view quality-filter papers report: how many documents
+    each rule family removes).  Stages are sequential: quality
+    heuristics → language-ID → perplexity cutoff → MinHash dedup.
+
+    Spark shape: ONE conditional-count aggregation over the featurized
+    silver (four count_ifs share the single pass) plus the gold count —
+    no extra scans, no shuffles beyond the pipeline's own.  The handful
+    of scalar counts is assembled driver-side (bounded: 5 rows)."""
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    cfg = PipelineConfig(
+        dedup_hash_family="md5", arrow_features=False, hashed_ngrams=False
+    )
+    feat = featurize(bronze, cfg)
+    lang_ok = F.col("lang_pred") == F.lit(cfg.target_lang)
+    c = feat.agg(
+        F.count(F.lit(1)).alias("n_bronze"),
+        F.count_if(F.col("keep_quality")).alias("n_q"),
+        F.count_if(F.col("keep_quality") & lang_ok).alias("n_l"),
+        F.count_if(F.col("keep")).alias("n_p"),
+    ).collect()[0]
+    n_gold = dedup(filter_kept(feat), cfg).count()
+    funnel = [
+        ("1_quality", c.n_bronze, c.n_q),
+        ("2_langid", c.n_q, c.n_l),
+        ("3_perplexity", c.n_l, c.n_p),
+        ("4_dedup", c.n_p, n_gold),
+    ]
+    rows = [
+        (
+            stage,
+            n_in,
+            n_kept,
+            n_in - n_kept,
+            (100.0 * (n_in - n_kept)) / n_in if n_in else 0.0,
+        )
+        for stage, n_in, n_kept in funnel
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, docs_in bigint, docs_kept bigint, docs_dropped bigint, "
+        "drop_pct double",
+    )
+
+
+def _pipeline_stage_attrition_sql() -> str:
+    """DuckDB twin of :func:`pipeline_stage_attrition`: the SAME staged
+    CTEs as the gold oracle, with FILTERed counts replaying the four
+    conditional counts and the identical IEEE drop_pct division."""
+    cfg = PipelineConfig(
+        dedup_hash_family="md5", arrow_features=False, hashed_ngrams=False
+    )
+    ctes = _pipeline_sql_ctes(cfg)
+    return f"""
+WITH {ctes},
+__c AS (
+  SELECT count(*) AS n_bronze,
+         count(*) FILTER (WHERE keep_quality) AS n_q,
+         count(*) FILTER (WHERE keep_quality
+                          AND lang_pred = '{cfg.target_lang}') AS n_l,
+         count(*) FILTER (WHERE keep) AS n_p
+  FROM __feat),
+__g AS (SELECT count(*) AS n_gold FROM __gold),
+__funnel AS (
+  SELECT '1_quality' AS stage, n_bronze AS docs_in, n_q AS docs_kept FROM __c
+  UNION ALL SELECT '2_langid', n_q, n_l FROM __c
+  UNION ALL SELECT '3_perplexity', n_l, n_p FROM __c
+  UNION ALL SELECT '4_dedup', (SELECT n_p FROM __c), n_gold FROM __g)
+SELECT stage,
+       CAST(docs_in AS BIGINT) AS docs_in,
+       CAST(docs_kept AS BIGINT) AS docs_kept,
+       CAST(docs_in - docs_kept AS BIGINT) AS docs_dropped,
+       CASE WHEN docs_in = 0 THEN 0.0
+            ELSE (100.0 * (docs_in - docs_kept)) / docs_in END AS drop_pct
+FROM __funnel
+"""
+
+
 def _lineage_config() -> "PipelineConfig":
     """Spec config for the lineage-metrics oracle run: md5 dedup family
     + string grams + native features (every stage SQL-replayable), and
@@ -1822,6 +1950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": doc_text_stats,
         "doc_langid": doc_langid,
         "doc_c4_filter": doc_c4_filter,
+        "doc_c4_line_filter": doc_c4_line_filter,
+        "doc_ppl_buckets": doc_ppl_buckets,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_fingerprint": doc_fingerprint,
         "doc_perplexity": doc_perplexity,
@@ -1853,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_stats": emb_label_stats,
         "pipeline_pages_gold": pipeline_pages_gold,
         "pipeline_lineage_metrics": pipeline_lineage_metrics,
+        "pipeline_stage_attrition": pipeline_stage_attrition,
         "multimodal_features": multimodal_features,
     }
 
@@ -1930,6 +2061,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
             "SELECT doc_id, " + detect_lang_duckdb_sql("text") + " AS lang_pred FROM documents"
         ),
         "doc_c4_filter": _doc_c4_filter_sql(),
+        "doc_c4_line_filter": _doc_c4_line_filter_sql(),
         "doc_pii_scrub": f"SELECT doc_id, {pii_scrubbed} AS text_scrubbed FROM documents",
         "doc_fingerprint": (
             "SELECT doc_id, "
@@ -1937,6 +2069,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
             + " AS fp FROM documents"
         ),
         "doc_perplexity": perplexity_duckdb_sql(),
+        "doc_ppl_buckets": _ppl_buckets_sql(),
         "doc_dup_ngrams": _doc_dup_ngrams_sql(),
         "doc_exact_dedup": """
 SELECT doc_id, source, n_chars FROM documents
@@ -1995,4 +2128,5 @@ FROM (
         # run_name, timestamps, duration — excluded from the compared
         # frame by the Spark-side projection)
         "pipeline_lineage_metrics": _pipeline_lineage_metrics_sql(),
+        "pipeline_stage_attrition": _pipeline_stage_attrition_sql(),
     }

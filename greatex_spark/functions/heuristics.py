@@ -331,3 +331,84 @@ def gopher_quality_suite(
             + f"))) >= {int(t['min_stopword_count'])}",
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleanup (Raffel et al. 2020 §2.2)
+#
+# The doc-level rules above decide keep/drop for a whole page; C4's
+# first pass edits WITHIN the page: only lines that end in a terminal
+# punctuation mark, carry at least five words, and do not mention
+# "javascript" are retained, and a page whose cleaned form has fewer
+# than three retained lines is dropped entirely.  Everything here is a
+# single native projection (split → filter HOF → array_join) — no
+# shuffle, no UDF, and Parquet column pruning reads only the text
+# column, so the pass costs one codegen'd scan at any corpus size.
+
+C4_LINE_MIN_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+# same terminal-punctuation class as quality_struct's doc-level flag
+_C4_TERMINAL_RE = '[.!?"”]$'
+
+
+def c4_kept_lines(text: Column, min_words: int = C4_LINE_MIN_WORDS) -> Column:
+    """Array of lines surviving C4's three line rules (terminal
+    punctuation, >= min_words words, no "javascript")."""
+    return F.filter(
+        F.split(text, r"\n"),
+        lambda ln: F.rtrim(ln).rlike(_C4_TERMINAL_RE)
+        & (F.size(words_col(ln)) >= min_words)
+        & ~F.lower(ln).contains("javascript"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = C4_LINE_MIN_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Apply C4's line-level cleanup: adds ``n_lines``,
+    ``n_kept_lines``, the cleaned text (retained lines re-joined with
+    newlines) and the page-level ``keep`` flag (>= min_kept_lines
+    retained lines).  Generalizes the reference's row-repair transform
+    (/root/reference/dags/transformations.py:15-17) from cell edits to
+    intra-document edits, still as one vectorized projection.
+
+    Two-step projection: the kept-lines array is let-bound inside ONE
+    struct producer (evaluated once per row), fields extracted in a
+    second select — the same CollapseProject-safe shape as
+    :func:`with_quality_features`."""
+    struct_col = _let(
+        c4_kept_lines(F.col(text_col), min_words),
+        lambda kept: F.struct(
+            F.size(F.split(F.col(text_col), r"\n")).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept_lines"),
+            F.array_join(kept, "\n").alias("clean"),
+            (F.size(kept) >= min_kept_lines).alias("keep"),
+        ),
+    )
+    tagged = df.select("*", struct_col.alias("__c4"))
+    return tagged.select(
+        *df.columns,
+        F.col("__c4.n_lines").alias("n_lines"),
+        F.col("__c4.n_kept_lines").alias("n_kept_lines"),
+        F.col("__c4.clean").alias(out_col),
+        F.col("__c4.keep").alias("keep"),
+    )
+
+
+def c4_line_filter_duckdb_sql(
+    text_expr: str,
+    min_words: int = C4_LINE_MIN_WORDS,
+) -> str:
+    """DuckDB list expression of the lines surviving
+    :func:`c4_kept_lines` — same tokenization (non-space runs), same
+    terminal-punctuation class, same case-folded javascript test."""
+    return (
+        f"list_filter(string_split({text_expr}, chr(10)), ln -> "
+        f"regexp_matches(rtrim(ln), '{_C4_TERMINAL_RE}') "
+        f"AND len(regexp_extract_all(ln, '\\S+')) >= {int(min_words)} "
+        f"AND NOT contains(lower(ln), 'javascript'))"
+    )

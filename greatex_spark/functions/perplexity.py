@@ -378,3 +378,95 @@ scored AS (
 SELECT d.{id_col}, round(-sc.logp / sc.n, 6) AS {out_col}
 FROM {table} d LEFT JOIN scored sc ON d.{id_col} = sc.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020 §4)
+#
+# CCNet sorts each language's documents by LM perplexity and cuts the
+# corpus into three equal parts: head (lowest perplexity, cleanest),
+# middle, tail.  Downstream pipelines train on head+middle or weight by
+# bucket, so the bucket label is a first-class quality signal.
+#
+# Scale shape: two passes, no global sort.  Pass 1 aggregates two
+# per-language percentile thresholds (partial-combinable agg — with
+# ``approx=True`` it is the t-digest ``percentile_approx`` sketch, the
+# right choice at 10^12 docs where exact percentile would buffer every
+# value of a language in one aggregator).  Pass 2 broadcast-joins the
+# tiny per-language threshold table back and labels each row with a
+# CASE — the corpus itself never shuffles.
+
+
+def ppl_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    fracs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    approx: bool = False,
+    model_path: str | None = None,
+    loader=None,
+) -> DataFrame:
+    """Label every document head/middle/tail by per-language perplexity
+    percentile (docs the scorer cannot score — too short / NULL text —
+    get ``unscored``).  ``approx=False`` is the exact interpolated
+    percentile (PERCENTILE_CONT semantics, the DuckDB-replayable spec);
+    ``approx=True`` swaps in ``percentile_approx`` for the 10^12-doc
+    path."""
+    score = make_log_perplexity_udf(model_path, loader)
+    scored = df.select(
+        F.col(id_col), F.col(lang_col), score(F.col(text_col)).alias("log_ppl")
+    )
+    pct = F.percentile_approx if approx else F.percentile
+    thresholds = (
+        scored.where(F.col("log_ppl").isNotNull())
+        .groupBy(lang_col)
+        .agg(
+            pct(F.col("log_ppl"), F.lit(fracs[0])).alias("__t_head"),
+            pct(F.col("log_ppl"), F.lit(fracs[1])).alias("__t_mid"),
+        )
+    )
+    bucket = (
+        F.when(F.col("log_ppl").isNull(), F.lit("unscored"))
+        .when(F.col("log_ppl") <= F.col("__t_head"), F.lit("head"))
+        .when(F.col("log_ppl") <= F.col("__t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(thresholds), on=lang_col, how="left")
+        .select(id_col, lang_col, "log_ppl", bucket.alias("ppl_bucket"))
+    )
+
+
+def ppl_buckets_duckdb_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    fracs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> str:
+    """DuckDB twin of :func:`ppl_buckets` (exact mode): the scored CTE
+    replays the perplexity fold, ``quantile_cont`` is the exact
+    interpolated percentile, and the CASE applies the same closed-left
+    bucket boundaries.  Threshold doubles interpolate between 6-decimal-
+    rounded scores in both engines, so bucket comparisons agree."""
+    ppl = perplexity_duckdb_sql(
+        table=table, id_col=id_col, text_col=text_col, out_col="log_ppl"
+    )
+    return f"""
+WITH __ppl AS MATERIALIZED ({ppl}),
+__scored AS (
+  SELECT d.{id_col}, d.{lang_col} AS lang, p.log_ppl
+  FROM {table} d JOIN __ppl p USING ({id_col})),
+__th AS (
+  SELECT lang,
+         quantile_cont(log_ppl, {fracs[0]!r}) AS t_head,
+         quantile_cont(log_ppl, {fracs[1]!r}) AS t_mid
+  FROM __scored WHERE log_ppl IS NOT NULL GROUP BY lang)
+SELECT s.{id_col}, s.lang AS {lang_col}, s.log_ppl,
+  CASE WHEN s.log_ppl IS NULL THEN 'unscored'
+       WHEN s.log_ppl <= t.t_head THEN 'head'
+       WHEN s.log_ppl <= t.t_mid THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM __scored s LEFT JOIN __th t ON s.lang = t.lang
+"""

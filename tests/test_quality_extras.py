@@ -1,0 +1,133 @@
+"""C4 line-level cleanup + CCNet perplexity buckets + attrition funnel.
+
+Round-5 additions beyond the reference surface: the intra-document
+edit pass (C4 §2.2), the per-language head/middle/tail perplexity
+split (CCNet §4), and the per-stage funnel over the gated pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from greatex_spark.functions.heuristics import c4_line_filter
+from greatex_spark.functions.perplexity import ppl_buckets
+
+
+GOOD = "this sentence definitely has enough words to pass the filter."
+SHORT = "too short."
+NO_PUNCT = "this line has plenty of words but no terminal punctuation mark"
+JS = "please enable JavaScript to view this fine content properly."
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestC4LineFilter:
+    def test_line_rules(self, spark):
+        text = "\n".join([GOOD, SHORT, NO_PUNCT, JS, GOOD])
+        row = c4_line_filter(_docs(spark, [text])).collect()[0]
+        assert row.n_lines == 5
+        assert row.n_kept_lines == 2
+        assert row.text_clean == GOOD + "\n" + GOOD
+        assert row.keep is False  # < 3 retained lines
+
+    def test_keep_threshold(self, spark):
+        text = "\n".join([GOOD] * 3)
+        row = c4_line_filter(_docs(spark, [text])).collect()[0]
+        assert row.n_kept_lines == 3 and row.keep is True
+
+    def test_empty_text(self, spark):
+        row = c4_line_filter(_docs(spark, [""])).collect()[0]
+        assert row.n_lines == 1  # split('') -> ['']
+        assert row.n_kept_lines == 0
+        assert row.text_clean == ""
+        assert row.keep is False
+
+    def test_no_shuffle(self, spark):
+        plan = c4_line_filter(_docs(spark, [GOOD]))._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestPplBuckets:
+    @pytest.fixture(scope="class")
+    def bucketed(self, spark):
+        # 30 scoreable docs per language with 30 DISTINCT perplexities
+        # (mix ratio of rare/common word pools varies per doc; the
+        # per-doc suffix breaks residual ties), plus one unscoreable
+        # stub per language
+        def text(i: int) -> str:
+            pools = ["the", "and", "of", "to", "value", "text"]
+            words = [
+                f"zq{j % 11}x" if (j * 31 + i * 7) % 30 < i else pools[j % 6]
+                for j in range(40)
+            ]
+            return " ".join(words) + f" q{i}w{(i * i) % 13}."
+
+        rows = []
+        for li, lang in enumerate(("en", "de")):
+            for i in range(30):
+                rows.append((li * 100 + i, text(i), lang))
+            rows.append((li * 100 + 99, "x", lang))
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        return ppl_buckets(df).collect()
+
+    def test_unscored(self, bucketed):
+        unscored = {r.doc_id for r in bucketed if r.ppl_bucket == "unscored"}
+        assert unscored == {99, 199}
+        assert all(r.log_ppl is None for r in bucketed if r.doc_id in unscored)
+
+    def test_thirds_per_language(self, bucketed):
+        for lang in ("en", "de"):
+            counts = {"head": 0, "middle": 0, "tail": 0}
+            for r in bucketed:
+                if r.lang == lang and r.ppl_bucket in counts:
+                    counts[r.ppl_bucket] += 1
+            # exact interpolated percentiles at 1/3 and 2/3 over 30
+            # distinct-ish values split 10/10/10 exactly
+            assert sum(counts.values()) == 30
+            assert counts["head"] == 10 and counts["middle"] == 10
+
+    def test_bucket_order_matches_score(self, bucketed):
+        for lang in ("en", "de"):
+            scored = sorted(
+                (r for r in bucketed if r.lang == lang and r.log_ppl is not None),
+                key=lambda r: (r.log_ppl, r.doc_id),
+            )
+            labels = [r.ppl_bucket for r in scored]
+            # head block precedes middle precedes tail in ppl order
+            assert labels == sorted(
+                labels, key=lambda b: {"head": 0, "middle": 1, "tail": 2}[b]
+            )
+
+    def test_approx_mode_runs(self, spark):
+        df = _docs(spark, [GOOD * 3, GOOD * 5, GOOD * 7]).withColumn(
+            "lang", F.lit("en")
+        )
+        out = ppl_buckets(df, approx=True).collect()
+        assert len(out) == 3 and all(r.ppl_bucket != "unscored" for r in out)
+
+
+class TestStageAttrition:
+    def test_funnel_chains(self, spark):
+        import __spark_entry__ as entry
+
+        rows = {
+            r.stage: r
+            for r in entry.pipeline_stage_attrition(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(rows) == {"1_quality", "2_langid", "3_perplexity", "4_dedup"}
+        order = ["1_quality", "2_langid", "3_perplexity", "4_dedup"]
+        for prev, nxt in zip(order, order[1:]):
+            assert rows[nxt].docs_in == rows[prev].docs_kept
+        for r in rows.values():
+            assert r.docs_dropped == r.docs_in - r.docs_kept >= 0
+            if r.docs_in:
+                assert r.drop_pct == pytest.approx(
+                    100.0 * r.docs_dropped / r.docs_in
+                )
