@@ -751,6 +751,34 @@ def _ppl_buckets_sql() -> str:
     return ppl_buckets_duckdb_sql()
 
 
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 Table A1): duplicate
+    line/paragraph fractions, duplicate line/paragraph *character*
+    fractions, and the character share of the single most frequent
+    2/3/4-gram — one native projection, no shuffle."""
+    from greatex_spark.functions.heuristics import (
+        REPETITION_SIGNAL_NAMES,
+        repetition_struct,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select("doc_id", repetition_struct(F.col("text")).alias("__r"))
+    return tagged.select(
+        "doc_id",
+        *[F.col(f"__r.{name}").alias(name) for name in REPETITION_SIGNAL_NAMES],
+    )
+
+
+def _doc_repetition_signals_sql() -> str:
+    from greatex_spark.functions.heuristics import repetition_signals_duckdb_sql
+
+    return (
+        "SELECT doc_id,\n  "
+        + repetition_signals_duckdb_sql("text")
+        + "\nFROM documents"
+    )
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-stable PII scrub (email→SSN→IP→phone regexp_replace chain);
     a synthetic PII suffix exercises every pattern."""
@@ -1952,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_filter": doc_c4_filter,
         "doc_c4_line_filter": doc_c4_line_filter,
         "doc_ppl_buckets": doc_ppl_buckets,
+        "doc_repetition_signals": doc_repetition_signals,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_fingerprint": doc_fingerprint,
         "doc_perplexity": doc_perplexity,
@@ -2070,6 +2099,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
         ),
         "doc_perplexity": perplexity_duckdb_sql(),
         "doc_ppl_buckets": _ppl_buckets_sql(),
+        "doc_repetition_signals": _doc_repetition_signals_sql(),
         "doc_dup_ngrams": _doc_dup_ngrams_sql(),
         "doc_exact_dedup": """
 SELECT doc_id, source, n_chars FROM documents

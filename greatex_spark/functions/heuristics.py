@@ -412,3 +412,165 @@ def c4_line_filter_duckdb_sql(
         f"AND len(regexp_extract_all(ln, '\\S+')) >= {int(min_words)} "
         f"AND NOT contains(lower(ln), 'javascript'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, Table A1)
+#
+# Beyond the duplicate-n-gram *fractions* in quality_struct, Gopher's
+# repetition family measures how much of a document's CONTENT is
+# repeated: the fraction of lines/paragraphs that repeat an earlier
+# one, the fraction of characters inside those repeats, and the
+# fraction of characters claimed by the single most frequent n-gram.
+# All native HOFs in one projection — per-row cost is
+# O(distinct_grams × grams) worst-case, bounded in the pipeline by the
+# max_words gate upstream; no shuffle, no UDF.
+
+
+def _dup_item_fraction(items: Column) -> Column:
+    """(count - distinct) / count over a string array (0.0 when empty)."""
+    return _let(
+        items,
+        lambda it: F.when(
+            F.size(it) > 0,
+            (F.size(it) - F.size(F.array_distinct(it))).cast("double") / F.size(it),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def _char_sum(items: Column) -> Column:
+    return F.aggregate(items, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+
+
+def _dup_char_fraction(items: Column) -> Column:
+    """Fraction of characters in occurrences beyond the first of each
+    distinct item (Gopher's 'characters within duplicate lines')."""
+    return _let(
+        items,
+        lambda it: _let(
+            _char_sum(it),
+            lambda total: F.when(
+                total > 0,
+                (total - _char_sum(F.array_distinct(it))).cast("double") / total,
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+
+
+def _top_gram_char_fraction(grams: Column, n_chars: Column) -> Column:
+    """Characters claimed by the most frequent n-gram / total characters.
+    The winner is the lexicographic max of (count, char_len, gram) so
+    ties resolve identically in both engines."""
+    return _let(
+        grams,
+        lambda g: F.when(
+            (F.size(g) > 0) & (n_chars > 0),
+            _let(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(g),
+                        lambda x: F.struct(
+                            F.size(F.filter(g, lambda y: y == x)).alias("cnt"),
+                            F.length(x).alias("clen"),
+                            x.alias("gram"),
+                        ),
+                    )
+                ),
+                lambda top: (top["cnt"] * top["clen"]).cast("double") / n_chars,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+REPETITION_SIGNAL_NAMES = (
+    "dup_line_fraction",
+    "dup_line_char_fraction",
+    "dup_para_fraction",
+    "dup_para_char_fraction",
+    "top_2gram_char_fraction",
+    "top_3gram_char_fraction",
+    "top_4gram_char_fraction",
+)
+
+
+def repetition_struct(text: Column) -> Column:
+    """All Gopher repetition signals as one struct Column (tokenize /
+    split once via let-binding; extract fields in a separate select)."""
+    return _let(
+        words_col(text),
+        lambda words: _let(
+            F.split(text, r"\n"),
+            lambda lines: _let(
+                F.split(text, r"\n\n"),
+                lambda paras: F.struct(
+                    _dup_item_fraction(lines).alias("dup_line_fraction"),
+                    _dup_char_fraction(lines).alias("dup_line_char_fraction"),
+                    _dup_item_fraction(paras).alias("dup_para_fraction"),
+                    _dup_char_fraction(paras).alias("dup_para_char_fraction"),
+                    *[
+                        _top_gram_char_fraction(
+                            ngrams_col(words, n), F.length(text).cast("long")
+                        ).alias(f"top_{n}gram_char_fraction")
+                        for n in (2, 3, 4)
+                    ],
+                ),
+            ),
+        ),
+    )
+
+
+def repetition_signals_duckdb_sql(text_expr: str) -> str:
+    """DuckDB SELECT-list fragment replaying :func:`repetition_struct`
+    column by column (same splits, same dup-char definition, same
+    (count, char_len, gram) tie-break for the top n-gram)."""
+    c = text_expr
+    lines = f"string_split({c}, chr(10))"
+    paras = f"string_split({c}, chr(10) || chr(10))"
+    words = f"regexp_extract_all({c}, '\\S+')"
+
+    def dup_frac(items: str) -> str:
+        return (
+            f"(CASE WHEN len({items}) > 0 THEN "
+            f"(len({items}) - len(list_distinct({items})))"
+            f" / CAST(len({items}) AS BIGINT) ELSE 0.0 END)"
+        )
+
+    def char_sum(items: str) -> str:
+        return f"list_sum(list_transform({items}, x -> CAST(length(x) AS BIGINT)))"
+
+    def dup_char_frac(items: str) -> str:
+        total = char_sum(items)
+        dist = char_sum(f"list_distinct({items})")
+        return (
+            f"(CASE WHEN coalesce({total}, 0) > 0 THEN "
+            f"({total} - {dist}) / CAST({total} AS BIGINT) ELSE 0.0 END)"
+        )
+
+    def grams(n: int) -> str:
+        shifted = ", ".join(f"{words}[{j + 1}:]" for j in range(1, n))
+        joined = " || ' ' || ".join(f"p[{j + 1}]" for j in range(n))
+        return f"list_transform(list_zip({words}, {shifted}, true), p -> {joined})"
+
+    def top_frac(n: int) -> str:
+        g = grams(n)
+        top = (
+            f"list_sort(list_transform(list_distinct({g}), x -> "
+            f"struct_pack(cnt := len(list_filter({g}, y -> y = x)), "
+            f"clen := length(x), gram := x)))[-1]"
+        )
+        return (
+            f"(CASE WHEN len({g}) > 0 AND length({c}) > 0 THEN "
+            f"(({top}.cnt * {top}.clen)) / CAST(length({c}) AS BIGINT) "
+            f"ELSE 0.0 END)"
+        )
+
+    cols = [
+        f"{dup_frac(lines)} AS dup_line_fraction",
+        f"{dup_char_frac(lines)} AS dup_line_char_fraction",
+        f"{dup_frac(paras)} AS dup_para_fraction",
+        f"{dup_char_frac(paras)} AS dup_para_char_fraction",
+        f"{top_frac(2)} AS top_2gram_char_fraction",
+        f"{top_frac(3)} AS top_3gram_char_fraction",
+        f"{top_frac(4)} AS top_4gram_char_fraction",
+    ]
+    return ",\n  ".join(cols)

@@ -406,17 +406,29 @@ def ppl_buckets(
     approx: bool = False,
     model_path: str | None = None,
     loader=None,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Label every document head/middle/tail by per-language perplexity
     percentile (docs the scorer cannot score — too short / NULL text —
     get ``unscored``).  ``approx=False`` is the exact interpolated
     percentile (PERCENTILE_CONT semantics, the DuckDB-replayable spec);
     ``approx=True`` swaps in ``percentile_approx`` for the 10^12-doc
-    path."""
-    score = make_log_perplexity_udf(model_path, loader)
-    scored = df.select(
-        F.col(id_col), F.col(lang_col), score(F.col(text_col)).alias("log_ppl")
-    )
+    path.
+
+    ``score_col`` reuses an ALREADY-SCORED perplexity column (e.g. the
+    pipeline's featurized ``log_ppl``) instead of running the UDF —
+    important at scale because the threshold aggregate and the label
+    join both consume the scored relation, so an inline UDF would score
+    every document twice unless the input is a materialized snapshot."""
+    if score_col is not None:
+        scored = df.select(
+            F.col(id_col), F.col(lang_col), F.col(score_col).alias("log_ppl")
+        )
+    else:
+        score = make_log_perplexity_udf(model_path, loader)
+        scored = df.select(
+            F.col(id_col), F.col(lang_col), score(F.col(text_col)).alias("log_ppl")
+        )
     pct = F.percentile_approx if approx else F.percentile
     thresholds = (
         scored.where(F.col("log_ppl").isNotNull())

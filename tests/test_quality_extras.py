@@ -131,3 +131,65 @@ class TestStageAttrition:
                 assert r.drop_pct == pytest.approx(
                     100.0 * r.docs_dropped / r.docs_in
                 )
+
+
+class TestRepetitionSignals:
+    def _row(self, spark, text):
+        from greatex_spark.functions.heuristics import (
+            REPETITION_SIGNAL_NAMES,
+            repetition_struct,
+        )
+
+        df = _docs(spark, [text]).select(
+            repetition_struct(F.col("text")).alias("r")
+        ).select("r.*")
+        assert list(df.columns) == list(REPETITION_SIGNAL_NAMES)
+        return df.collect()[0]
+
+    def test_duplicate_lines_and_paragraphs(self, spark):
+        # 4 lines, "dup line." appears 3x -> dup_line_fraction 2/4;
+        # dup chars = 2 extra copies of the 9-char line over 36+? chars
+        text = "dup line.\nunique one here.\ndup line.\ndup line."
+        r = self._row(spark, text)
+        assert r.dup_line_fraction == pytest.approx(2 / 4)
+        total = sum(len(x) for x in text.split("\n"))
+        dup_chars = 2 * len("dup line.")
+        assert r.dup_line_char_fraction == pytest.approx(dup_chars / total)
+        assert r.dup_para_fraction == 0.0  # no blank-line-separated repeats
+
+    def test_duplicate_paragraphs(self, spark):
+        text = "para one.\n\npara one.\n\npara two."
+        r = self._row(spark, text)
+        assert r.dup_para_fraction == pytest.approx(1 / 3)
+        total = sum(len(x) for x in text.split("\n\n"))
+        assert r.dup_para_char_fraction == pytest.approx(len("para one.") / total)
+
+    def test_top_ngram_char_fraction(self, spark):
+        # "the cat" appears 3 times among 5 bigrams
+        text = "the cat sat the cat ran the cat"
+        r = self._row(spark, text)
+        assert r.top_2gram_char_fraction == pytest.approx(3 * len("the cat") / len(text))
+        assert 0.0 <= r.top_3gram_char_fraction <= 1.0
+        assert 0.0 <= r.top_4gram_char_fraction <= 1.0
+
+    def test_empty_text(self, spark):
+        r = self._row(spark, "")
+        assert all(v == 0.0 for v in r.asDict().values())
+
+
+class TestPplBucketsScoreCol:
+    def test_prescored_column_reused(self, spark):
+        # a pre-scored column skips the UDF entirely: no ArrowEvalPython
+        # / BatchEvalPython node may appear in the plan
+        df = spark.createDataFrame(
+            [(i, "irrelevant", "en", float(i)) for i in range(9)],
+            "doc_id long, text string, lang string, my_ppl double",
+        )
+        out = ppl_buckets(df, score_col="my_ppl")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        rows = {r.doc_id: r.ppl_bucket for r in out.collect()}
+        # 9 distinct scores 0..8: thresholds at values ~2.67/5.33
+        assert [rows[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
