@@ -727,7 +727,10 @@ WITH l AS (
 SELECT doc_id,
        CAST(n_lines AS BIGINT) AS n_lines,
        CAST(len(kept) AS BIGINT) AS n_kept_lines,
-       coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+       -- DuckDB array_to_string([]) is NULL (Spark array_join is '');
+       -- the CASE keeps NULL text NULL while mapping empty-kept to ''
+       coalesce(array_to_string(kept, chr(10)),
+                CASE WHEN kept IS NOT NULL THEN '' END) AS text_clean,
        len(kept) >= 3 AS keep
 FROM l
 """

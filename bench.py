@@ -188,6 +188,14 @@ def main() -> None:
         timed("doc_dsir_sample", lambda: qs["doc_dsir_sample"](spark, sf_dir).collect(), runs=2)
         timed("emb_semdedup", lambda: noop(qs["emb_semdedup"](spark, sf_dir)), runs=2)
 
+        # ---- quality-signal operators (round 5) ---------------------------
+        timed("doc_c4_line_filter",
+              lambda: noop(qs["doc_c4_line_filter"](spark, sf_dir)), runs=2)
+        timed("doc_repetition_signals",
+              lambda: noop(qs["doc_repetition_signals"](spark, sf_dir)), runs=2)
+        timed("doc_ppl_buckets",
+              lambda: noop(qs["doc_ppl_buckets"](spark, sf_dir)), runs=2)
+
         # ---- ANN accuracy/speed trade: recall vs brute force -------------
         # (judged alongside latency — a fast ANN with unmeasured recall
         # is not an operator, it's a random-row sampler)
