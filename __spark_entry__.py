@@ -782,6 +782,26 @@ def _doc_repetition_signals_sql() -> str:
     )
 
 
+def doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-substring stats (Lee et al. 2021),
+    seventh dedup family: k-token shingle hashes → corpus-global
+    count>1 rule → per-doc span-union coverage.  md5 spec family (the
+    DuckDB twin replays every hash); ``family='xxhash64'`` is the
+    production hot path."""
+    from greatex_spark.operators.substringdedup import substring_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_stats(docs)
+
+
+def _doc_substring_dup_sql() -> str:
+    from greatex_spark.operators.substringdedup import (
+        substring_dup_stats_duckdb_sql,
+    )
+
+    return substring_dup_stats_duckdb_sql()
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-stable PII scrub (email→SSN→IP→phone regexp_replace chain);
     a synthetic PII suffix exercises every pattern."""
@@ -1984,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_line_filter": doc_c4_line_filter,
         "doc_ppl_buckets": doc_ppl_buckets,
         "doc_repetition_signals": doc_repetition_signals,
+        "doc_substring_dup": doc_substring_dup,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_fingerprint": doc_fingerprint,
         "doc_perplexity": doc_perplexity,
@@ -2103,6 +2124,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
         "doc_perplexity": perplexity_duckdb_sql(),
         "doc_ppl_buckets": _ppl_buckets_sql(),
         "doc_repetition_signals": _doc_repetition_signals_sql(),
+        "doc_substring_dup": _doc_substring_dup_sql(),
         "doc_dup_ngrams": _doc_dup_ngrams_sql(),
         "doc_exact_dedup": """
 SELECT doc_id, source, n_chars FROM documents

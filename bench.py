@@ -195,6 +195,16 @@ def main() -> None:
               lambda: noop(qs["doc_repetition_signals"](spark, sf_dir)), runs=2)
         timed("doc_ppl_buckets",
               lambda: noop(qs["doc_ppl_buckets"](spark, sf_dir)), runs=2)
+        # substring dedup benches the xxhash64 hot path (the md5 spec
+        # family exists for the DuckDB twin, not for production scans)
+        from greatex_spark.operators.substringdedup import (  # noqa: PLC0415
+            substring_dup_stats,
+        )
+
+        docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timed("doc_substring_dup",
+              lambda: noop(substring_dup_stats(docs_tbl, family="xxhash64")),
+              runs=2)
 
         # ---- ANN accuracy/speed trade: recall vs brute force -------------
         # (judged alongside latency — a fast ANN with unmeasured recall

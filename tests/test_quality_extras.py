@@ -193,3 +193,51 @@ class TestPplBucketsScoreCol:
         assert [rows[i] for i in range(9)] == (
             ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
         )
+
+
+class TestSubstringDup:
+    def test_planted_duplicate_substring(self, spark):
+        from greatex_spark.operators.substringdedup import substring_dup_stats
+
+        shared = " ".join(f"s{i}" for i in range(20))  # 20-token shared run
+        uniq_a = " ".join(f"a{i}" for i in range(10))
+        uniq_b = " ".join(f"b{i}" for i in range(10))
+        solo = " ".join(f"c{i}" for i in range(30))
+        df = _docs(spark, [f"{uniq_a} {shared}", f"{uniq_b} {shared}", solo])
+        rows = {r.doc_id: r for r in substring_dup_stats(df, k=13).collect()}
+        # docs 0/1 share a 20-token substring -> its 8 window starts
+        # (20-13+1) cover exactly those 20 tokens in each
+        for d in (0, 1):
+            assert rows[d].n_tokens == 30
+            assert rows[d].dup_tokens == 20
+            assert rows[d].dup_token_fraction == pytest.approx(20 / 30)
+        assert rows[2].dup_tokens == 0 and rows[2].dup_token_fraction == 0.0
+
+    def test_within_doc_repeat_counts(self, spark):
+        from greatex_spark.operators.substringdedup import substring_dup_stats
+
+        run = " ".join(f"r{i}" for i in range(13))
+        df = _docs(spark, [f"{run} {run}"])  # same 13-gram twice in ONE doc
+        r = substring_dup_stats(df, k=13).collect()[0]
+        assert r.n_tokens == 26
+        assert r.dup_tokens == 26  # both occurrences marked
+
+    def test_short_doc_no_windows(self, spark):
+        from greatex_spark.operators.substringdedup import substring_dup_stats
+
+        df = _docs(spark, ["only five words right here.", ""])
+        rows = {r.doc_id: r for r in substring_dup_stats(df, k=13).collect()}
+        assert rows[0].dup_tokens == 0 and rows[0].dup_token_fraction == 0.0
+        assert rows[1].n_tokens == 0 and rows[1].dup_token_fraction == 0.0
+
+    def test_xxhash_family_same_decisions(self, spark):
+        from greatex_spark.operators.substringdedup import substring_dup_stats
+
+        shared = " ".join(f"s{i}" for i in range(15))
+        df = _docs(spark, [f"x1 {shared}", f"x2 {shared}", "nothing shared here at all."])
+        spec = {r.doc_id: r.dup_tokens for r in substring_dup_stats(df).collect()}
+        hot = {
+            r.doc_id: r.dup_tokens
+            for r in substring_dup_stats(df, family="xxhash64").collect()
+        }
+        assert spec == hot
