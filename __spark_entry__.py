@@ -802,6 +802,29 @@ def _doc_substring_dup_sql() -> str:
     return substring_dup_stats_duckdb_sql()
 
 
+def doc_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of ExactSubstr (Lee et al. 2021): cut every
+    duplicated k-token window occurrence except the corpus-canonical
+    one (min doc_id*2^31+pos) and rebuild the text from surviving
+    tokens.  md5 spec family — the DuckDB twin replays the canonical
+    rule, the gaps-and-islands span merge, and the byte-exact
+    single-space reconstruction."""
+    from greatex_spark.operators.substringdedup import (
+        trim_duplicate_substrings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return trim_duplicate_substrings(docs)
+
+
+def _doc_substring_trim_sql() -> str:
+    from greatex_spark.operators.substringdedup import (
+        trim_duplicate_substrings_duckdb_sql,
+    )
+
+    return trim_duplicate_substrings_duckdb_sql()
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-stable PII scrub (email→SSN→IP→phone regexp_replace chain);
     a synthetic PII suffix exercises every pattern."""
@@ -2005,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl_buckets": doc_ppl_buckets,
         "doc_repetition_signals": doc_repetition_signals,
         "doc_substring_dup": doc_substring_dup,
+        "doc_substring_trim": doc_substring_trim,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_fingerprint": doc_fingerprint,
         "doc_perplexity": doc_perplexity,
@@ -2125,6 +2149,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
         "doc_ppl_buckets": _ppl_buckets_sql(),
         "doc_repetition_signals": _doc_repetition_signals_sql(),
         "doc_substring_dup": _doc_substring_dup_sql(),
+        "doc_substring_trim": _doc_substring_trim_sql(),
         "doc_dup_ngrams": _doc_dup_ngrams_sql(),
         "doc_exact_dedup": """
 SELECT doc_id, source, n_chars FROM documents

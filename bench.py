@@ -199,11 +199,16 @@ def main() -> None:
         # family exists for the DuckDB twin, not for production scans)
         from greatex_spark.operators.substringdedup import (  # noqa: PLC0415
             substring_dup_stats,
+            trim_duplicate_substrings,
         )
 
         docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
         timed("doc_substring_dup",
               lambda: noop(substring_dup_stats(docs_tbl, family="xxhash64")),
+              runs=2)
+        timed("doc_substring_trim",
+              lambda: noop(trim_duplicate_substrings(docs_tbl,
+                                                     family="xxhash64")),
               runs=2)
 
         # ---- ANN accuracy/speed trade: recall vs brute force -------------

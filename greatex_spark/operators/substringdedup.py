@@ -68,6 +68,52 @@ def substring_dup_stats(
     ``dup_tokens`` (tokens covered by at least one k-token window whose
     hash occurs >1 time in the corpus) and ``dup_token_fraction``.
     Documents shorter than k tokens have no windows and report 0."""
+    base, occ = _window_occurrences(df, text_col, id_col, k, family)
+    dup_hashes = occ.groupBy("__h").count().where(F.col("count") > 1).select("__h")
+    dup_occ = occ.join(dup_hashes, "__h").select("__id", "__pos")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    contrib = F.least(
+        F.lit(k).cast("long"),
+        F.coalesce(F.lead("__pos").over(w) - F.col("__pos"), F.lit(k)).cast("long"),
+    )
+    per_doc = (
+        dup_occ.select("__id", contrib.alias("__c"))
+        .groupBy("__id")
+        .agg(F.sum("__c").alias("__dup_tokens"))
+    )
+    # n_tokens recounts the split without the per-word hashes — cheaper
+    # than threading a second field through the windows let-binding
+    n_tokens = F.size(
+        F.filter(F.split("__text", r"\s+"), lambda t: t != F.lit(""))
+    ).cast("long")
+    out = (
+        base.select("__id", n_tokens.alias("__n_tokens"))
+        .join(per_doc, "__id", "left")
+    )
+    dup_tokens = F.coalesce(F.col("__dup_tokens"), F.lit(0).cast("long"))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__n_tokens").alias("n_tokens"),
+        dup_tokens.alias("dup_tokens"),
+        F.when(
+            F.col("__n_tokens") > 0,
+            dup_tokens.cast("double") / F.col("__n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_fraction"),
+    )
+
+
+_CANON_BASE = 1 << 31  # canonical occurrence key = doc_id * base + pos
+
+
+def _window_occurrences(
+    df: DataFrame, text_col: str, id_col: str, k: int, family: str
+):
+    """Shared front half of the family: one row per document with the
+    let-bound window-hash array, plus the exploded (doc, pos, hash)
+    occurrence relation (ids and longs only — token strings never
+    leave the scan)."""
     wh = _word_hashes(F.col(text_col), family)
     # let-bind the word-hash array: element_at must hit a lambda
     # variable, not a column reference Catalyst may inline — inlining
@@ -87,44 +133,96 @@ def substring_dup_stats(
             ),
         ).otherwise(F.array().cast("array<bigint>")),
     )
-    # n_tokens recounts the split without the per-word hashes — cheaper
-    # than threading a struct through the let and letting a collapse
-    # duplicate the hashed array
-    n_tokens = F.size(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
-    ).cast("long")
     base = df.select(
         F.col(id_col).alias("__id"),
-        n_tokens.alias("__n_tokens"),
+        F.col(text_col).alias("__text"),
         windows.alias("__whs"),
     )
-    occ = base.select(
-        "__id", F.posexplode("__whs").alias("__pos", "__h")
+    occ = base.select("__id", F.posexplode("__whs").alias("__pos", "__h"))
+    return base, occ
+
+
+def trim_duplicate_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    family: str = "md5",
+) -> DataFrame:
+    """Remove duplicated substrings, keeping one canonical copy
+    (the rewrite half of Lee et al. 2021's ExactSubstr — their tool
+    cuts every duplicated byte range from all but one occurrence).
+
+    An occurrence (doc, pos) of a k-token window whose hash appears
+    more than once in the corpus is *canonical* iff it minimizes
+    ``doc_id * 2^31 + pos``; every non-canonical occurrence marks its
+    k tokens for removal.  Marked, overlapping spans are merged per
+    document (gaps-and-islands over a positions-only window) and the
+    survivor text is rebuilt from the unmarked tokens, joined with
+    single spaces (output is whitespace-normalized by construction).
+
+    Returns ``id_col, n_tokens, removed_tokens, clean_text``.
+
+    Scale notes: the duplicate/canonical decision is one
+    groupBy(hash) agg (map-side combinable); spans shuffle as long
+    triples only.  The final spans→text rejoin is the one place text
+    moves — inherent to a rewrite operator (the output is corpus-
+    sized); pre-bucketing the corpus by ``id_col`` makes it
+    shuffle-free, and AQE broadcasts the spans side when duplication
+    is sparse.  Requires an integral ``id_col`` (< 2^32 ids for the
+    canonical key; remap or widen the base for larger corpora)."""
+    base, occ = _window_occurrences(df, text_col, id_col, k, family)
+    ckey = F.col("__id") * F.lit(_CANON_BASE) + F.col("__pos")
+    stats = (
+        occ.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"), F.min(ckey).alias("__canon"))
+        .where(F.col("__c") > 1)
+        .select("__h", "__canon")
     )
-    dup_hashes = occ.groupBy("__h").count().where(F.col("count") > 1).select("__h")
-    dup_occ = occ.join(dup_hashes, "__h").select("__id", "__pos")
+    rem = (
+        occ.join(stats, "__h")
+        .where(ckey != F.col("__canon"))
+        .select("__id", "__pos")
+    )
     w = Window.partitionBy("__id").orderBy("__pos")
-    contrib = F.least(
-        F.lit(k).cast("long"),
-        F.coalesce(F.lead("__pos").over(w) - F.col("__pos"), F.lit(k)).cast("long"),
+    end = (F.col("__pos") + k).cast("long")
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    per_doc = (
-        dup_occ.select("__id", contrib.alias("__c"))
+    new_island = (
+        prev_max_end.isNull() | (F.col("__pos") > prev_max_end)
+    ).cast("long")
+    islands = rem.select(
+        "__id",
+        F.col("__pos").cast("long").alias("__pos"),
+        end.alias("__end"),
+        F.sum(new_island)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__g"),
+    )
+    spans = (
+        islands.groupBy("__id", "__g")
+        .agg(F.min("__pos").alias("s"), F.max("__end").alias("e"))
         .groupBy("__id")
-        .agg(F.sum("__c").alias("__dup_tokens"))
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
     )
-    out = base.select("__id", "__n_tokens").join(per_doc, "__id", "left")
-    dup_tokens = F.coalesce(F.col("__dup_tokens"), F.lit(0).cast("long"))
+    out = base.select("__id", "__text").join(spans, "__id", "left")
+    sp = F.coalesce(
+        F.col("__spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    toks = F.filter(F.split("__text", r"\s+"), lambda t: t != F.lit(""))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            sp, lambda span: (i >= span["s"]) & (i < span["e"])
+        ),
+    )
+    n_tokens = F.size(toks).cast("long")
     return out.select(
         F.col("__id").alias(id_col),
-        F.col("__n_tokens").alias("n_tokens"),
-        dup_tokens.alias("dup_tokens"),
-        F.when(
-            F.col("__n_tokens") > 0,
-            dup_tokens.cast("double") / F.col("__n_tokens"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_token_fraction"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens - F.size(kept).cast("long")).alias("removed_tokens"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )
 
 
@@ -174,4 +272,76 @@ SELECT b.__id AS {id_col},
             THEN coalesce(p.__dup_tokens, 0) / CAST(b.__n_tokens AS BIGINT)
             ELSE 0.0 END AS dup_token_fraction
 FROM __base b LEFT JOIN __per_doc p ON b.__id = p.__id
+"""
+
+
+def trim_duplicate_substrings_duckdb_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+) -> str:
+    """DuckDB twin of :func:`trim_duplicate_substrings` (md5 spec
+    family): same canonical-occurrence rule (min doc_id*2^31+pos),
+    same gaps-and-islands span merge, same 0-indexed token filter
+    (DuckDB lambda indexes are 1-based, hence the ``i - 1``), same
+    single-space reconstruction."""
+    words = f"regexp_extract_all({text_col}, '\\S+')"
+    wh = f"list_transform(__toks, w -> {md5_long_sql('w')})"
+    window_hash = _compose_hash_sql([f"__wh[i + {j}]" for j in range(k)])
+    return f"""
+WITH __base AS MATERIALIZED (
+  SELECT __id, __toks,
+         CASE WHEN len(__wh) >= {k} THEN
+           list_transform(range(1, len(__wh) - {k} + 2), i -> {window_hash})
+         ELSE [] END AS __whs
+  FROM (SELECT __id, __toks, {wh} AS __wh
+        FROM (SELECT {id_col} AS __id, {words} AS __toks FROM {table}))),
+__occ AS MATERIALIZED (
+  SELECT __id,
+         unnest(range(0, len(__whs))) AS __pos,
+         unnest(__whs) AS __h
+  FROM __base),
+__stats AS (
+  SELECT __h, min(__id * {_CANON_BASE} + __pos) AS __canon
+  FROM __occ GROUP BY __h HAVING count(*) > 1),
+__rem AS (
+  SELECT o.__id, o.__pos
+  FROM __occ o JOIN __stats s ON o.__h = s.__h
+  WHERE o.__id * {_CANON_BASE} + o.__pos <> s.__canon),
+__isl AS (
+  SELECT __id, __pos, __pos + {k} AS __end,
+         CASE WHEN __pos > coalesce(
+                max(__pos + {k}) OVER (PARTITION BY __id ORDER BY __pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1)
+              THEN 1 ELSE 0 END AS __new
+  FROM __rem),
+__isl2 AS (
+  SELECT __id, __pos, __end,
+         sum(__new) OVER (PARTITION BY __id ORDER BY __pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __g
+  FROM __isl),
+__merged AS (
+  SELECT __id, min(__pos) AS s, max(__end) AS e
+  FROM __isl2 GROUP BY __id, __g),
+__spans AS (
+  SELECT __id, list({{'s': s, 'e': e}}) AS __spans FROM __merged GROUP BY __id),
+__kept AS (
+  SELECT b.__id,
+         CAST(len(b.__toks) AS BIGINT) AS __n_tokens,
+         list_filter(b.__toks, (t, i) ->
+           len(list_filter(coalesce(p.__spans, []),
+                           sp -> (i - 1) >= sp.s AND (i - 1) < sp.e)) = 0
+         ) AS __kl
+  FROM __base b LEFT JOIN __spans p ON b.__id = p.__id)
+SELECT __id AS {id_col},
+       __n_tokens AS n_tokens,
+       CAST(__n_tokens - len(__kl) AS BIGINT) AS removed_tokens,
+       CASE WHEN __kl IS NULL THEN NULL
+            -- array_to_string([]) is NULL in DuckDB; Spark's
+            -- concat_ws of an empty array is '' — a fully-trimmed doc
+            -- must come out as the empty string in both engines
+            ELSE coalesce(array_to_string(__kl, ' '), '') END AS clean_text
+FROM __kept
 """

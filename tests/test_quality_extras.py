@@ -241,3 +241,73 @@ class TestSubstringDup:
             for r in substring_dup_stats(df, family="xxhash64").collect()
         }
         assert spec == hot
+
+
+class TestSubstringTrim:
+    def test_canonical_doc_keeps_span(self, spark):
+        from greatex_spark.operators.substringdedup import (
+            trim_duplicate_substrings,
+        )
+
+        shared = " ".join(f"s{i}" for i in range(20))
+        uniq_a = " ".join(f"a{i}" for i in range(10))
+        uniq_b = " ".join(f"b{i}" for i in range(10))
+        df = _docs(spark, [f"{uniq_a} {shared}", f"{uniq_b} {shared}"])
+        rows = {
+            r.doc_id: r for r in trim_duplicate_substrings(df, k=13).collect()
+        }
+        # doc 0 holds the canonical (min doc_id*2^31+pos) occurrence of
+        # every duplicated window -> untouched; doc 1 loses the 20-token
+        # span and keeps only its unique prefix
+        assert rows[0].removed_tokens == 0
+        assert rows[0].clean_text == f"{uniq_a} {shared}"
+        assert rows[1].removed_tokens == 20
+        assert rows[1].clean_text == uniq_b
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        from greatex_spark.operators.substringdedup import (
+            trim_duplicate_substrings,
+        )
+
+        run = " ".join(f"r{i}" for i in range(13))
+        df = _docs(spark, [f"{run} {run}"])
+        r = trim_duplicate_substrings(df, k=13).collect()[0]
+        assert r.n_tokens == 26
+        assert r.removed_tokens == 13  # second occurrence cut
+        assert r.clean_text == run
+
+    def test_clean_corpus_is_identity(self, spark):
+        from greatex_spark.operators.substringdedup import (
+            trim_duplicate_substrings,
+        )
+
+        texts = ["all tokens here are unique one.", "and so are these two."]
+        df = _docs(spark, texts)
+        rows = {
+            r.doc_id: r for r in trim_duplicate_substrings(df, k=5).collect()
+        }
+        for i, t in enumerate(texts):
+            assert rows[i].removed_tokens == 0
+            assert rows[i].clean_text == t  # single-space input -> byte equal
+
+    def test_overlapping_spans_merge(self, spark):
+        from greatex_spark.operators.substringdedup import (
+            trim_duplicate_substrings,
+        )
+
+        # doc 1 repeats doc 0's tokens 0..15 AND 10..25: overlapping
+        # marked spans [0,23) and [10,25) must merge to [0,25)
+        base_toks = [f"t{i}" for i in range(25)]
+        df = _docs(
+            spark,
+            [
+                " ".join(base_toks),
+                " ".join(base_toks) + " tail0 tail1 tail2",
+            ],
+        )
+        rows = {
+            r.doc_id: r for r in trim_duplicate_substrings(df, k=13).collect()
+        }
+        assert rows[0].removed_tokens == 0
+        assert rows[1].removed_tokens == 25
+        assert rows[1].clean_text == "tail0 tail1 tail2"
