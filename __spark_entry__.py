@@ -805,7 +805,7 @@ def _doc_substring_dup_sql() -> str:
 def doc_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rewrite half of ExactSubstr (Lee et al. 2021): cut every
     duplicated k-token window occurrence except the corpus-canonical
-    one (min doc_id*2^31+pos) and rebuild the text from surviving
+    one (lexicographic min of (doc_id, pos)) and rebuild the text from
     tokens.  md5 spec family — the DuckDB twin replays the canonical
     rule, the gaps-and-islands span merge, and the byte-exact
     single-space reconstruction."""

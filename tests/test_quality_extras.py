@@ -256,7 +256,7 @@ class TestSubstringTrim:
         rows = {
             r.doc_id: r for r in trim_duplicate_substrings(df, k=13).collect()
         }
-        # doc 0 holds the canonical (min doc_id*2^31+pos) occurrence of
+        # doc 0 holds the canonical (lexicographic min (doc_id, pos)) occurrence of
         # every duplicated window -> untouched; doc 1 loses the 20-token
         # span and keeps only its unique prefix
         assert rows[0].removed_tokens == 0
