@@ -460,22 +460,44 @@ def _dup_char_fraction(items: Column) -> Column:
 def _top_gram_char_fraction(grams: Column, n_chars: Column) -> Column:
     """Characters claimed by the most frequent n-gram / total characters.
     The winner is the lexicographic max of (count, char_len, gram) so
-    ties resolve identically in both engines."""
+    ties resolve identically in both engines.
+
+    Sort + longest-equal-run fold, O(n log n) per document — the naive
+    count-each-distinct-gram shape (filter over all grams per distinct
+    gram) is O(n²) in document length inside an interpreted HOF, which
+    turns a single boilerplate-heavy 10k-token page into ~10⁸ string
+    comparisons.  Every step's running-count candidate is compared
+    into ``best``; a gram's full-run candidate dominates its own
+    prefixes, so the fold's max equals the max over distinct grams."""
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        cand = F.struct(
+            run.alias("cnt"), F.length(x).alias("clen"), x.alias("gram")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(cand > acc["best"], cand).otherwise(acc["best"]).alias("best"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.struct(
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(0).alias("clen"),
+            F.lit("").alias("gram"),
+        ).alias("best"),
+    )
     return _let(
         grams,
         lambda g: F.when(
             (F.size(g) > 0) & (n_chars > 0),
             _let(
-                F.array_max(
-                    F.transform(
-                        F.array_distinct(g),
-                        lambda x: F.struct(
-                            F.size(F.filter(g, lambda y: y == x)).alias("cnt"),
-                            F.length(x).alias("clen"),
-                            x.alias("gram"),
-                        ),
-                    )
-                ),
+                F.aggregate(F.array_sort(g), zero, step)["best"],
                 lambda top: (top["cnt"] * top["clen"]).cast("double") / n_chars,
             ),
         ).otherwise(F.lit(0.0)),
