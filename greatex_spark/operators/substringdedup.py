@@ -13,6 +13,17 @@ gate signal (Lee et al. drop or trim documents dominated by repeated
 substrings; a suite rule ``dup_token_fraction <= x`` expresses that
 declaratively here).
 
+Two operators share the windowed front half:
+
+- :func:`substring_dup_stats` — per-document duplicated-token count
+  and fraction (the gate signal; a suite rule
+  ``dup_token_fraction <= x`` expresses Lee et al.'s drop rule
+  declaratively);
+- :func:`trim_duplicate_substrings` — the rewrite half: cut every
+  duplicated-window occurrence except the corpus-canonical one
+  (lexicographic min of (doc_id, pos)) and rebuild the text from
+  surviving tokens.
+
 Scale shape (the part the suffix array cannot do):
 
 - occurrences shuffle as ``(doc_id, pos, hash)`` triples — token
@@ -24,7 +35,9 @@ Scale shape (the part the suffix array cannot do):
   partitioned by doc_id), contribution ``min(k, next_pos - pos)`` —
   no per-doc collected arrays;
 - everything is replayed by the DuckDB twin for the md5 spec family;
-  ``family="xxhash64"`` swaps GC-light JVM hashing for production.
+  ``family="xxhash64"`` swaps GC-light JVM hashing for production
+  (window hashes become one native ``xxhash64(*word_hashes)`` call;
+  measured 3× on a 400k-page corpus, BASELINE.md).
 
 Reference lineage: generalizes the staged validation pipeline's
 repetition gates (SURVEY §2 A-ext; /root/reference/dags/scripts/python/
@@ -105,7 +118,12 @@ def substring_dup_stats(
 
 
 def _window_occurrences(
-    df: DataFrame, text_col: str, id_col: str, k: int, family: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    family: str,
+    payload_cols: list[str] | None = None,
 ):
     """Shared front half of the family: one row per document with the
     let-bound window-hash array, plus the exploded (doc, pos, hash)
@@ -142,6 +160,7 @@ def _window_occurrences(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__text"),
         windows.alias("__whs"),
+        *[F.col(c) for c in (payload_cols or [])],
     )
     occ = base.select("__id", F.posexplode("__whs").alias("__pos", "__h"))
     return base, occ
@@ -153,6 +172,7 @@ def trim_duplicate_substrings(
     id_col: str = "doc_id",
     k: int = DEFAULT_K,
     family: str = "md5",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Remove duplicated substrings, keeping one canonical copy
     (the rewrite half of Lee et al. 2021's ExactSubstr — their tool
@@ -160,15 +180,19 @@ def trim_duplicate_substrings(
 
     An occurrence (doc, pos) of a k-token window whose hash appears
     more than once in the corpus is *canonical* iff it is the
-    lexicographic minimum of ``(doc_id, pos)`` (a struct min — safe
-    for the full 64-bit id range, unlike an arithmetic composite
-    key); every non-canonical occurrence marks its k tokens for
-    removal.  Marked, overlapping spans are merged per
-    document (gaps-and-islands over a positions-only window) and the
-    survivor text is rebuilt from the unmarked tokens, joined with
-    single spaces (output is whitespace-normalized by construction).
+    lexicographic minimum of ``(doc_id, pos)`` — a struct min, so any
+    orderable id type works (strings, full-range 64-bit ids; an
+    arithmetic composite key would overflow).  Every non-canonical
+    occurrence marks its k tokens for removal.  Marked, overlapping
+    spans are merged per document (gaps-and-islands over a
+    positions-only window) and the survivor text is rebuilt from the
+    unmarked tokens, joined with single spaces (output is
+    whitespace-normalized by construction).
 
-    Returns ``id_col, n_tokens, removed_tokens, clean_text``.
+    Returns ``id_col, n_tokens, removed_tokens, clean_text`` plus any
+    ``payload_cols`` carried through unchanged (they ride the base
+    projection — Catalyst prunes them out of the occurrence branch, so
+    they cost nothing in the shuffles).
 
     Scale notes: the duplicate/canonical decision is one
     groupBy(hash) agg (map-side combinable); spans shuffle as long
@@ -176,8 +200,11 @@ def trim_duplicate_substrings(
     moves — inherent to a rewrite operator (the output is corpus-
     sized); pre-bucketing the corpus by ``id_col`` makes it
     shuffle-free, and AQE broadcasts the spans side when duplication
-    is sparse.  Requires an integral ``id_col``."""
-    base, occ = _window_occurrences(df, text_col, id_col, k, family)
+    is sparse."""
+    payload = list(payload_cols or [])
+    base, occ = _window_occurrences(
+        df, text_col, id_col, k, family, payload_cols=payload
+    )
     ckey = F.struct(
         F.col("__id").alias("d"), F.col("__pos").cast("long").alias("p")
     )
@@ -225,7 +252,7 @@ def trim_duplicate_substrings(
             F.sum(F.col("e") - F.col("s")).alias("__removed"),
         )
     )
-    out = base.select("__id", "__text").join(spans, "__id", "left")
+    out = base.select("__id", "__text", *payload).join(spans, "__id", "left")
     sp = F.coalesce(
         F.col("__spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
     )
@@ -243,6 +270,7 @@ def trim_duplicate_substrings(
         F.coalesce(F.col("__removed"), F.lit(0).cast("long"))
         .alias("removed_tokens"),
         F.concat_ws(" ", kept).alias("clean_text"),
+        *payload,
     )
 
 

@@ -45,6 +45,7 @@ from greatex_spark.pipeline.stages import (
     featurize,
     filter_kept,
     gold_projection,
+    trim_substrings,
 )
 from greatex_spark.pipeline import suites as S
 from greatex_spark.tables import Catalog
@@ -173,7 +174,8 @@ def run_pipeline(
     hi = int(n_bronze * config.keep_fraction_band[1])
     kept = _stage(
         spark, catalog, result, KEPT, epoch, resume,
-        lambda: dedup(filter_kept(silver), config), run_name,
+        lambda: trim_substrings(dedup(filter_kept(silver), config), config),
+        run_name,
     )
     result.validations["kept"] = run_checkpoint(
         spark, kept, Checkpoint("kept", S.kept_suite(lo, hi)), catalog, epoch,

@@ -77,6 +77,15 @@ class PipelineConfig:
     # keeps the scrub PII-only; pass functions.toxicity.DEFAULT_BLOCKLIST
     # or load_blocklist(path) for the full external list
     toxicity_blocklist: tuple[str, ...] | None = None
+    # ExactSubstr rewrite (Lee et al. 2021) between dedup and gold:
+    # cut every duplicated >=substring_trim_k-token span except the
+    # corpus-canonical copy and rebuild the gold text from surviving
+    # tokens (whitespace-normalized; n_tokens becomes the post-trim
+    # count).  Document-level MinHash dedup drops whole near-dup
+    # pages; this removes the *intra-corpus boilerplate* that
+    # survives it — opt-in because it rewrites text
+    substring_trim: bool = False
+    substring_trim_k: int = 13
     # salt-spread bronze on hash(url) at commit (crawl feeds arrive
     # clustered by domain; hot domains make straggler partitions) —
     # costs one extra shuffle at ingest, so opt-in
@@ -212,6 +221,38 @@ def dedup(df: DataFrame, config: PipelineConfig) -> DataFrame:
         num_bands=config.minhash_num_bands,
         family=config.dedup_hash_family,
         survivor_join=config.dedup_survivor_join,
+    )
+
+
+def trim_substrings(df: DataFrame, config: PipelineConfig) -> DataFrame:
+    """Opt-in ExactSubstr rewrite over the deduped kept set: the
+    scrubbed text is rewritten with duplicated spans cut (canonical
+    copy kept) and ``n_tokens`` becomes the post-trim token count.
+    Payload columns ride the trim's base projection, so the extra
+    shuffles stay (id, pos, hash)-only exactly as in the standalone
+    operator."""
+    if not config.substring_trim:
+        return df
+    from greatex_spark.operators.substringdedup import (
+        trim_duplicate_substrings,
+    )
+
+    payload = [
+        c for c in df.columns if c not in ("url", "text_scrubbed", "n_tokens")
+    ]
+    out = trim_duplicate_substrings(
+        df,
+        text_col="text_scrubbed",
+        id_col="url",
+        k=config.substring_trim_k,
+        family=config.dedup_hash_family,
+        payload_cols=payload,
+    )
+    return out.select(
+        *payload,
+        F.col("url"),
+        F.col("clean_text").alias("text_scrubbed"),
+        (F.col("n_tokens") - F.col("removed_tokens")).alias("n_tokens"),
     )
 
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from greatex_spark.expectations.compiler import GateFailed
 from greatex_spark.functions.pii import scrub_pii_py
-from greatex_spark.pages import generate_pages
+from greatex_spark.pages import HTML_POST, HTML_PRE, generate_pages
 from greatex_spark.pipeline.runner import (
     BRONZE,
     GOLD,
@@ -295,3 +295,50 @@ def test_retention_expires_old_epochs_after_gated_run(spark, tmp_path, pages):
     metrics = catalog.read_latest(spark, "metrics")
     assert metrics.where(F.col("run_name") == "m1").count() > 0
     assert metrics.where(F.col("run_name") == "m2").count() > 0
+
+
+def test_substring_trim_stage(spark, tmp_path, pages):
+    """Opt-in ExactSubstr rewrite between dedup and gold: a 22-token
+    boilerplate suffix planted on ~1/7 of the pages survives in at most
+    ONE gold page (the corpus-canonical copy); every gold row's
+    n_tokens equals the whitespace token count of its final text."""
+    boiler = (
+        "the quality of the data and the value of the text must be"
+        " clear and complete for all users of the system today."
+    )
+    marked = pages.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("url"), F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit(" " + boiler)),
+        ).otherwise(F.col("text")),
+    ).withColumn(  # keep the source-suite extraction invariant intact
+        "html",
+        F.encode(
+            F.concat(F.lit(HTML_PRE), F.col("text"), F.lit(HTML_POST)),
+            "UTF-8",
+        ),
+    )
+    catalog = Catalog(str(tmp_path / "lake"))
+    cfg = PipelineConfig(substring_trim=True)
+    result = run_pipeline(
+        spark, catalog, epoch=1, source_df=marked, config=cfg, run_name="rT"
+    )
+    assert all(v.success for v in result.validations.values()), result.summary()
+
+    gold = catalog.read_latest(spark, GOLD).cache()
+    marker = "must be clear and complete for all users"
+    hits = gold.where(F.col("text").contains(marker)).count()
+    marked_in_gold = gold.where(
+        F.pmod(F.xxhash64("url"), F.lit(7)) == 0
+    ).count()
+    assert hits <= 1
+    if marked_in_gold >= 1:
+        assert hits == 1  # the canonical copy, and only it, keeps it
+    # trim rewrites text whitespace-normalized and recounts n_tokens
+    mismatch = gold.where(
+        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != F.lit("")))
+        != F.col("n_tokens")
+    ).count()
+    assert mismatch == 0
+    gold.unpersist()
