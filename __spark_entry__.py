@@ -74,6 +74,7 @@ from greatex_spark.pages import generate_pages
 from greatex_spark.pipeline.stages import (
     PipelineConfig,
     dedup,
+    drop_reason,
     featurize,
     filter_kept,
     gold_projection,
@@ -1521,13 +1522,15 @@ def pipeline_pages_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold_projection(dedup(filter_kept(featurize(bronze, cfg)), cfg))
 
 
-def _pipeline_sql_ctes(cfg: "PipelineConfig") -> str:
+def _pipeline_sql_ctes(cfg: "PipelineConfig", upto: str = "gold") -> str:
     """Shared DuckDB WITH-clause body replaying the staged pipeline over
     the committed bronze fixture (spec config: md5 family, string
     grams): __bronze → __feat (all silver signals incl. the ``keep``
     flag — SQL three-valued logic matches Spark's) → __kept →
-    MinHash-band CTEs → __reps (survivor urls).  Used by both the
-    ``pipeline_pages_gold`` oracle and the lineage-metrics oracle."""
+    MinHash-band CTEs → __reps (survivor urls).  Used by the
+    ``pipeline_pages_gold``, lineage-metrics, attrition and drop-audit
+    oracles; ``upto="feat"`` stops after ``__feat`` for oracles that
+    never touch the dedup half."""
     import os
 
     from greatex_spark.functions.heuristics import gopher_keep_duckdb_sql
@@ -1544,7 +1547,7 @@ def _pipeline_sql_ctes(cfg: "PipelineConfig") -> str:
         "__kept", "url", "text",
         cfg.minhash_num_perm, cfg.minhash_num_bands, shingle_k=5,
     )
-    return f"""__bronze AS MATERIALIZED (
+    feat_ctes = f"""__bronze AS MATERIALIZED (
   SELECT url, warc_ts, html, text, lang FROM read_parquet('{fixture}/*.parquet')),
 __ppl AS MATERIALIZED ({ppl}),
 __feat_base AS (
@@ -1558,7 +1561,10 @@ __feat_base AS (
 __feat AS MATERIALIZED (
   SELECT *, keep_quality AND lang_pred = '{cfg.target_lang}'
             AND log_ppl IS NOT NULL AND log_ppl <= {cfg.ppl_threshold} AS keep
-  FROM __feat_base),
+  FROM __feat_base)"""
+    if upto == "feat":
+        return feat_ctes
+    return f"""{feat_ctes},
 __kept AS MATERIALIZED (
   SELECT * FROM __feat WHERE keep),
 {minhash_ctes},
@@ -1659,6 +1665,75 @@ SELECT stage,
        CASE WHEN docs_in = 0 THEN 0.0
             ELSE (100.0 * (docs_in - docs_kept)) / docs_in END AS drop_pct
 FROM __funnel
+"""
+
+
+def pipeline_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style qualitative audit sample: for every drop reason
+    (the first failing stage of the keep conjunction — null_text /
+    quality / langid / perplexity), the 5 dropped documents with the
+    lowest sampling hash.  Quality-filter work reviews such samples
+    per rule before trusting a filter at corpus scale.
+
+    Spark shape: the reason label is a CASE projection over the
+    featurized silver; selection is :func:`top_n_per_group` — the
+    skew-safe salted two-phase window (a plain PARTITION BY reason
+    window would funnel each whole reason, i.e. ~a quarter of a 100 TB
+    corpus, through one task).  Determinism: the rank key is the
+    md5 sampling hash + url tie-break, so the sample is identical
+    under any partitioning and replays in the oracle's single-window
+    form."""
+    from greatex_spark.operators.sampling import sample_hash, top_n_per_group
+
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    cfg = PipelineConfig(
+        dedup_hash_family="md5", arrow_features=False, hashed_ngrams=False
+    )
+    feat = featurize(bronze, cfg)
+    dropped = feat.where(~F.coalesce(F.col("keep"), F.lit(False))).select(
+        drop_reason(cfg).alias("drop_reason"),
+        "url",
+        "n_tokens",
+        sample_hash(F.col("url"), 7).alias("__h"),
+    )
+    out = top_n_per_group(
+        dropped,
+        "drop_reason",
+        [F.col("__h"), F.col("url")],
+        n=5,
+    )
+    return out.select("drop_reason", "rank", "url", "n_tokens")
+
+
+def _pipeline_drop_audit_sql() -> str:
+    """DuckDB twin of :func:`pipeline_drop_audit`: same feat CTEs, the
+    same NULL-safe CASE fall-through, and the salted two-phase
+    selection collapsed to its semantic spec — ONE row_number window
+    per reason (equal by construction: top-n of per-salt top-ns under
+    a total order is the global top-n)."""
+    from greatex_spark.operators.dedup import md5_long_sql
+    from greatex_spark.operators.sampling import DENOM
+
+    cfg = PipelineConfig(
+        dedup_hash_family="md5", arrow_features=False, hashed_ngrams=False
+    )
+    ctes = _pipeline_sql_ctes(cfg, upto="feat")
+    key = md5_long_sql("(url::VARCHAR || ':7')")
+    return f"""
+WITH {ctes},
+__dropped AS (
+  SELECT CASE WHEN text IS NULL THEN 'null_text'
+              WHEN NOT keep_quality THEN 'quality'
+              WHEN lang_pred <> '{cfg.target_lang}' THEN 'langid'
+              ELSE 'perplexity' END AS drop_reason,
+         url, n_tokens, ({key} % {DENOM}) AS __h
+  FROM __feat WHERE NOT coalesce(keep, false)),
+__ranked AS (
+  SELECT drop_reason, url, n_tokens,
+         row_number() OVER (PARTITION BY drop_reason
+                            ORDER BY __h, url) AS rank
+  FROM __dropped)
+SELECT drop_reason, rank, url, n_tokens FROM __ranked WHERE rank <= 5
 """
 
 
@@ -2061,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pages_gold": pipeline_pages_gold,
         "pipeline_lineage_metrics": pipeline_lineage_metrics,
         "pipeline_stage_attrition": pipeline_stage_attrition,
+        "pipeline_drop_audit": pipeline_drop_audit,
         "multimodal_features": multimodal_features,
     }
 
@@ -2209,4 +2285,5 @@ FROM (
         # frame by the Spark-side projection)
         "pipeline_lineage_metrics": _pipeline_lineage_metrics_sql(),
         "pipeline_stage_attrition": _pipeline_stage_attrition_sql(),
+        "pipeline_drop_audit": _pipeline_drop_audit_sql(),
     }

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from greatex_spark.operators.dedup import md5_long, md5_long_sql
 
@@ -136,3 +137,47 @@ JOIN (SELECT {domain_col}, count(*) AS n FROM {table} GROUP BY {domain_col}) c
   USING ({domain_col})
 WHERE ({key} % {DENOM}) * c.n < {cap}::BIGINT * {DENOM}
 """
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    n: int,
+    salt_col: Column | None = None,
+    salt_buckets: int = 16,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Exact deterministic top-n per group, skew-safe.
+
+    Semantically identical to one ``row_number() OVER (PARTITION BY
+    group ORDER BY order_cols)`` window (the form the DuckDB oracle
+    replays), but a plain window funnels each whole group through ONE
+    task — with a handful of groups over a 100 TB corpus (e.g. four
+    drop reasons) that is a single-reducer sort.  Here the heavy sort
+    runs per ``(group, salt)`` subpartition — ``salt`` a pure hash of
+    the tie-break key, so the split is replayable — keeping ``n`` per
+    subpartition; a second window then ranks the ≤ ``salt_buckets·n``
+    survivors per group.  Top-n of per-salt top-ns equals the global
+    top-n exactly because ``order_cols`` totally order rows (callers
+    must end the list with a unique tie-break column).  ``order_cols``
+    are plain columns, ranked ascending (no SortOrder wrappers — the
+    tie-break is also hashed for the salt, and a sort direction is not
+    a value expression).
+
+    ``salt_col`` defaults to ``md5_long`` of the last order column
+    (the tie-break) — pass ``xxhash64`` of it for the GC-light
+    production family; the salt only routes rows, so any hash gives
+    the same result set."""
+    if salt_col is None:
+        salt_col = md5_long(order_cols[-1].cast("string"))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__salt", F.pmod(salt_col, F.lit(salt_buckets)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= n)
+        .withColumn(rank_name, F.row_number().over(w2).cast("long"))
+        .where(F.col(rank_name) <= n)
+        .drop("__salt", "__r1")
+    )

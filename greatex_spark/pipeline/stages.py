@@ -208,6 +208,25 @@ def filter_kept(df: DataFrame) -> DataFrame:
     return df.where(F.col("keep"))
 
 
+DROP_REASONS = ("null_text", "quality", "langid", "perplexity")
+
+
+def drop_reason(config: PipelineConfig) -> Column:
+    """First failing stage of the ``keep`` conjunction, as a label
+    column over :func:`featurize` output (NULL-safe: a NULL ``text``
+    makes every downstream signal NULL, so it gets its own first
+    bucket; the CASE fall-through order then mirrors the conjunction
+    order exactly, in Spark and in the DuckDB twin's identical
+    three-valued CASE).  Only meaningful on rows where ``keep`` is not
+    true."""
+    return (
+        F.when(F.col("text").isNull(), F.lit("null_text"))
+        .when(~F.col("keep_quality"), F.lit("quality"))
+        .when(F.col("lang_pred") != F.lit(config.target_lang), F.lit("langid"))
+        .otherwise(F.lit("perplexity"))
+    )
+
+
 def dedup(df: DataFrame, config: PipelineConfig) -> DataFrame:
     if not config.dedup:
         return df

@@ -70,3 +70,33 @@ def test_incremental_matches_full_dedup_on_union(spark):
         batch.union(fresh), content_fingerprint_index(existing)
     )
     assert [r["doc_id"] for r in inc2.collect()] == [50]
+
+
+def test_top_n_per_group_matches_plain_window(spark):
+    """The skew-safe salted two-phase top-n equals one PARTITION BY
+    group window exactly, on a skewed input (one group holds 90% of
+    rows) and across salt_buckets settings — including buckets=1
+    (degenerates to the plain window) and buckets > group size."""
+    from pyspark.sql.window import Window
+
+    from greatex_spark.operators.sampling import sample_hash, top_n_per_group
+
+    rows = [(f"id-{i:04d}", "hot" if i % 10 else "rare") for i in range(300)]
+    df = (
+        spark.createDataFrame(rows, "doc_id string, grp string")
+        .withColumn("h", sample_hash(F.col("doc_id"), 3))
+        .repartition(7)
+    )
+    w = Window.partitionBy("grp").orderBy("h", "doc_id")
+    expected = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where("rank <= 4")
+    )
+    exp = sorted(map(tuple, expected.select("grp", "rank", "doc_id").collect()))
+    for buckets in (1, 16, 1000):
+        got = top_n_per_group(
+            df, "grp", [F.col("h"), F.col("doc_id")], n=4, salt_buckets=buckets
+        )
+        assert sorted(
+            map(tuple, got.select("grp", "rank", "doc_id").collect())
+        ) == exp
