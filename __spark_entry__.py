@@ -1189,6 +1189,47 @@ def _doc_quality_score_sql() -> str:
     )
 
 
+_TOKEN_BUDGET = 12_000
+
+
+def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget top-slice (DataComp/FineWeb-Edu-style): keep the
+    highest-quality-score prefix of the corpus whose running BPE-token
+    total stays within a fixed budget.  The semantic spec is ONE
+    global cumulative-sum window (the oracle's form); the Spark plan
+    is operators/sampling.py:token_budget_select — order-consistent
+    score buckets, per-bucket token totals collected (≤ 4,096 longs),
+    offsets broadcast back as a literal map, parallel per-bucket
+    cumulative windows, doomed buckets filtered before any sort."""
+    from greatex_spark.functions.classifier import quality_score
+    from greatex_spark.functions.textstats import bpe_token_count
+    from greatex_spark.operators.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality_score"),
+        bpe_token_count("text").cast("long").alias("n_tokens"),
+    )
+    return token_budget_select(scored, _TOKEN_BUDGET)
+
+
+def _doc_token_budget_sql() -> str:
+    from greatex_spark.functions.classifier import quality_score_duckdb_sql
+    from greatex_spark.functions.textstats import BPE_TOKEN_REGEX
+    from greatex_spark.operators.sampling import token_budget_select_duckdb_sql
+
+    bpe = BPE_TOKEN_REGEX.replace("'", "''")
+    scored = (
+        f"(SELECT doc_id, {quality_score_duckdb_sql('text')} AS quality_score, "
+        f"len(regexp_extract_all(text, '{bpe}'))::BIGINT AS n_tokens "
+        "FROM documents WHERE text IS NOT NULL)"
+    )
+    return token_budget_select_duckdb_sql(
+        "doc_id, quality_score, n_tokens", scored, _TOKEN_BUDGET
+    )
+
+
 # deterministic "dirty" URL variants for the canonicalization queries:
 # the bronze fixture's URLs are already clean, so both engines append
 # the same md5-selected noise (tracking params / fragments / case /
@@ -2123,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": doc_incremental_dedup,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_quality_score": doc_quality_score,
+        "doc_token_budget": doc_token_budget,
         "doc_line_dedup": doc_line_dedup,
         "url_canonicalize": url_canonicalize,
         "url_dedup_domains": url_dedup_domains,
@@ -2247,6 +2289,7 @@ QUALIFY row_number() OVER (
         "doc_incremental_dedup": _doc_incremental_dedup_sql(),
         "doc_pack_sequences": _doc_pack_sequences_sql(),
         "doc_quality_score": _doc_quality_score_sql(),
+        "doc_token_budget": _doc_token_budget_sql(),
         "doc_line_dedup": _doc_line_dedup_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "url_dedup_domains": _url_dedup_domains_sql(),

@@ -197,6 +197,8 @@ def main() -> None:
               lambda: noop(qs["doc_ppl_buckets"](spark, sf_dir)), runs=2)
         timed("pipeline_drop_audit",
               lambda: qs["pipeline_drop_audit"](spark, sf_dir).collect(), runs=2)
+        timed("doc_token_budget",
+              lambda: noop(qs["doc_token_budget"](spark, sf_dir)), runs=2)
         # substring dedup benches the xxhash64 hot path (the md5 spec
         # family exists for the DuckDB twin, not for production scans)
         from greatex_spark.operators.substringdedup import (  # noqa: PLC0415

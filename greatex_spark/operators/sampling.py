@@ -181,3 +181,90 @@ def top_n_per_group(
         .where(F.col(rank_name) <= n)
         .drop("__salt", "__r1")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Select the highest-quality prefix of the corpus up to a token
+    budget (DataComp/FineWeb-Edu-style top-slice): order documents by
+    ``(score desc, id)`` and keep each one iff the running token total
+    *including it* stays ≤ ``budget`` — a strict prefix, so the result
+    is deterministic and replayable (a doc that would overflow the
+    budget is cut, and so is everything after it).
+
+    The semantic spec is one global cumulative-sum window — which on
+    Spark would be a single-task sort of the whole corpus.  Instead:
+    quantize ``score`` into ``n_buckets`` order-consistent buckets
+    (same score → same bucket, bucket order respects score order), agg
+    per-bucket token totals (ONE map-side-combinable shuffle of ≤
+    ``n_buckets`` rows), collect them (bounded driver memory, like
+    DSIR's 4,096 LM counts), and broadcast each bucket's *offset* (sum
+    of all strictly-higher buckets) back as a literal map.  Buckets
+    whose offset already exceeds the budget are dropped by a pushed
+    filter BEFORE any sort; surviving buckets run parallel per-bucket
+    cumulative windows (corpus/n_buckets rows per task — the scale
+    knob) and keep rows with ``offset + in-bucket cum ≤ budget``.
+    Exactness: the global order restricted to a bucket IS the
+    in-bucket order, and cross-bucket ties are impossible, so
+    ``offset[b] + cum_in_bucket`` equals the global cumulative sum.
+
+    ``score_col`` must be non-null and in [0, 1] (clamped buckets);
+    token counts are exact integer math end-to-end."""
+    score = F.col(score_col)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor(score * n_buckets).cast("int")),
+    )
+    with_b = df.withColumn("__b", bucket)
+    totals = {
+        r["__b"]: r["t"]
+        for r in with_b.groupBy("__b")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals, reverse=True):
+        offsets[b] = acc
+        acc += totals[b]
+    live = [b for b in offsets if offsets[b] < budget]
+    if not live:
+        return df.limit(0)
+    pairs: list[Column] = []
+    for b in live:
+        pairs += [F.lit(b), F.lit(offsets[b])]
+    off = F.element_at(F.create_map(*pairs), F.col("__b")).cast("long")
+    w = Window.partitionBy("__b").orderBy(score.desc(), F.col(id_col))
+    return (
+        with_b.where(F.col("__b").isin(live))
+        .withColumn(
+            "__cum", off + F.sum(F.col(tokens_col).cast("long")).over(w)
+        )
+        .where(F.col("__cum") <= F.lit(int(budget)))
+        .drop("__b", "__cum")
+    )
+
+
+def token_budget_select_duckdb_sql(
+    select_cols: str,
+    table: str,
+    budget: int,
+    score_expr: str = "quality_score",
+    tokens_expr: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for :func:`token_budget_select` — the single-window
+    semantic spec the bucketed plan is provably equal to."""
+    return f"""
+SELECT {select_cols} FROM (
+  SELECT *, sum({tokens_expr}::BIGINT)
+            OVER (ORDER BY {score_expr} DESC, {id_col}) AS __cum
+  FROM {table})
+WHERE __cum <= {int(budget)}
+"""

@@ -100,3 +100,41 @@ def test_top_n_per_group_matches_plain_window(spark):
         assert sorted(
             map(tuple, got.select("grp", "rank", "doc_id").collect())
         ) == exp
+
+
+def test_token_budget_select_matches_global_window(spark):
+    """The bucketed token-budget plan equals the single global
+    cumulative-window spec exactly — across bucket counts (1 bucket =
+    the degenerate global window; more buckets than distinct scores),
+    at budget 0 (empty), and at budget >= total (everything kept)."""
+    from pyspark.sql.window import Window
+
+    from greatex_spark.operators.sampling import token_budget_select
+
+    rows = [
+        (f"d{i:03d}", round(((i * 37) % 100) / 100.0, 2), 5 + (i * 13) % 40)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, quality_score double, n_tokens long"
+    )
+    total = sum(r[2] for r in rows)
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+
+    def spec(budget):
+        return sorted(
+            r["doc_id"]
+            for r in df.withColumn("c", F.sum("n_tokens").over(w))
+            .where(F.col("c") <= budget)
+            .collect()
+        )
+
+    for budget in (0, 700, total, total + 1):
+        expected = spec(budget)
+        for buckets in (1, 64, 4096):
+            got = token_budget_select(df, budget, n_buckets=buckets)
+            assert sorted(r["doc_id"] for r in got.collect()) == expected, (
+                budget,
+                buckets,
+            )
+            assert got.columns == df.columns
