@@ -834,6 +834,86 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_pii(dirty).alias("text_scrubbed"))
 
 
+# messy-text suffix for the normalization query: CRLF + bare CR, a BEL
+# control char, an NFD "café" (e + combining acute), combining ring
+# (A + U+030A), ANGSTROM SIGN (NFC-composes to U+00C5), an NBSP and an
+# NFC-preserved ligature, and a 4-newline run that must collapse to 2.
+_MESSY_SUFFIX = (
+    "\r\nline1\rcafé Å Å x ﬁ\x07"
+    "ctrl\n\n\n\nend"
+)
+
+
+def _duckdb_str(s: str) -> str:
+    """Render an arbitrary Python string as a DuckDB expression —
+    control characters via chr(), everything else as a UTF-8 literal."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32 or ord(ch) == 127:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return "(" + " || ".join(parts or ["''"]) + ")"
+
+
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/text normalization (functions/normalize.py): newline
+    canonicalization + control strip + paragraph collapse natively,
+    NFC composition as the one Arrow-vectorized UDF; a planted messy
+    suffix exercises every rule on every row."""
+    from greatex_spark.functions.normalize import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit(_MESSY_SUFFIX))
+    return docs.select("doc_id", normalize_text(dirty).alias("text_norm"))
+
+
+def _doc_normalize_sql() -> str:
+    from greatex_spark.functions.normalize import normalize_text_duckdb_sql
+
+    dirty = f"(text || {_duckdb_str(_MESSY_SUFFIX)})"
+    return (
+        f"SELECT doc_id, {normalize_text_duckdb_sql(dirty)} AS text_norm "
+        f"FROM documents"
+    )
+
+
+def doc_cc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated credit-card scrub (functions/pii.py): candidates
+    from one regexp scan, checksum as a native HOF integer fold, only
+    valid numbers replaced — a deterministic md5-derived digit run per
+    doc exercises both the valid (~10%) and rejected branches."""
+    from greatex_spark.functions.pii import scrub_credit_cards
+
+    docs = _t(spark, sf_dir, "documents")
+    digits = F.substring(
+        F.regexp_replace(F.md5(F.col("doc_id").cast("string")), "[^0-9]", ""),
+        1,
+        16,
+    )
+    dirty = F.concat(F.col("text"), F.lit(" card "), digits, F.lit(" end"))
+    return docs.select("doc_id", scrub_credit_cards(dirty).alias("text_cc_scrubbed"))
+
+
+def _doc_cc_scrub_sql() -> str:
+    from greatex_spark.functions.pii import scrub_credit_cards_duckdb_sql
+
+    dirty = (
+        "(text || ' card ' || substr(regexp_replace("
+        "md5(CAST(doc_id AS VARCHAR)), '[^0-9]', '', 'g'), 1, 16) || ' end')"
+    )
+    return (
+        f"SELECT doc_id, {scrub_credit_cards_duckdb_sql(dirty)} "
+        f"AS text_cc_scrubbed FROM documents"
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling (polynomial) document fingerprint over the normalized
     word stream — order-sensitive, exact BIGINT arithmetic in both
@@ -941,6 +1021,41 @@ def _doc_dup_clusters_sql() -> str:
     return duplicate_clusters_duckdb_sql(
         "documents", "doc_id", "text", n=3, threshold=0.5
     )
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the diagnostic every corpus-
+    scale dedup run needs before trusting its drop rate (a fat tail of
+    giant clusters means LSH is over-merging; all-singletons means the
+    threshold is too strict).  One extra ids-only aggregation over the
+    clustering output; sizes are tiny after the groupBy so the result
+    collapses to a handful of rows."""
+    from greatex_spark.operators.cluster import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(
+        docs, "text", "doc_id", n=3, threshold=0.5, family="md5"
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_dropped", F.col("n_docs") - F.col("n_clusters"))
+    )
+
+
+def _dedup_cluster_stats_sql() -> str:
+    return f"""
+WITH __clusters AS ({_doc_dup_clusters_sql()})
+SELECT cluster_size,
+       count(DISTINCT cluster_id) AS n_clusters,
+       count(*) AS n_docs,
+       count(*) - count(DISTINCT cluster_id) AS n_dropped
+FROM __clusters
+GROUP BY cluster_size
+"""
 
 
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,6 +1468,81 @@ WITH __fetches AS (
 __winners AS (
   SELECT min(url) AS url FROM __fetches GROUP BY {canon})
 SELECT url FROM __winners WHERE {dom} <> 'example.net'
+"""
+
+
+# 16-word path vocabulary keyed by the first hex char of md5(url):
+# flagged terms at several weights plus benign words containing flagged
+# substrings ("sexton", "essex") so the score spectrum 0.0-2.0 and the
+# documented substring false-positive tradeoff are both exercised.
+_URL_PATH_VOCAB = (
+    "news", "sports", "porn", "recipes", "xxx-videos", "travel",
+    "casino-poker", "health", "bet", "science", "sexton", "essex",
+    "music", "escort", "viagra-pills", "garden",
+)
+
+
+def url_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL-level quality gate (operators/urls.py):
+    weighted flagged-substring score over the canonical URL + domain
+    blocklist, evaluated as a pure projection before any body fetch or
+    featurize stage."""
+    from greatex_spark.operators.urls import (
+        canonicalize_url,
+        host_of,
+        registered_domain,
+        url_quality_score,
+    )
+
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    hexc = F.substring(F.md5(F.col("url")), 1, 1)
+    word = F.lit(_URL_PATH_VOCAB[-1])
+    for i, w in enumerate(_URL_PATH_VOCAB[:-1]):
+        word = F.when(hexc == format(i, "x"), F.lit(w)).otherwise(word)
+    dirty = F.concat(F.col("url"), F.lit("/"), word)
+    canon = canonicalize_url(dirty)
+    dom = registered_domain(host_of(canon))
+    score = url_quality_score(canon)
+    blocked = dom.isin("example.net")
+    return bronze.select(
+        F.col("url"),
+        dirty.alias("dirty_url"),
+        dom.alias("domain"),
+        score.alias("url_score"),
+        blocked.alias("blocked_domain"),
+        ((score < F.lit(1.0)) & ~blocked).alias("keep"),
+    )
+
+
+def _url_quality_filter_sql() -> str:
+    import os
+
+    from greatex_spark.operators.urls import (
+        canonicalize_url_sql,
+        host_of_sql,
+        registered_domain_sql,
+        url_quality_score_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    fixture = _bronze_fixture(sf_dir)
+    whens = " ".join(
+        f"WHEN '{format(i, 'x')}' THEN '{w}'"
+        for i, w in enumerate(_URL_PATH_VOCAB[:-1])
+    )
+    word = f"CASE substr(md5(url), 1, 1) {whens} ELSE '{_URL_PATH_VOCAB[-1]}' END"
+    canon = canonicalize_url_sql("dirty_url")
+    dom = registered_domain_sql(host_of_sql(canon))
+    score = url_quality_score_sql(canon)
+    return f"""
+WITH __dirty AS (
+  SELECT url, url || '/' || {word} AS dirty_url
+  FROM read_parquet('{fixture}/*.parquet'))
+SELECT url, dirty_url, {dom} AS domain,
+       {score} AS url_score,
+       {dom} = 'example.net' AS blocked_domain,
+       ({score} < 1.0 AND {dom} <> 'example.net') AS keep
+FROM __dirty
 """
 
 
@@ -2146,6 +2336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dup": doc_substring_dup,
         "doc_substring_trim": doc_substring_trim,
         "doc_pii_scrub": doc_pii_scrub,
+        "doc_cc_scrub": doc_cc_scrub,
+        "doc_normalize": doc_normalize,
         "doc_fingerprint": doc_fingerprint,
         "doc_perplexity": doc_perplexity,
         "doc_dup_ngrams": doc_dup_ngrams,
@@ -2154,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_dedup": doc_simhash_dedup,
         "doc_jaccard_dedup": doc_jaccard_dedup,
         "doc_dup_clusters": doc_dup_clusters,
+        "dedup_cluster_stats": dedup_cluster_stats,
         "doc_pair_jaccard": doc_pair_jaccard,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
@@ -2168,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": doc_line_dedup,
         "url_canonicalize": url_canonicalize,
         "url_dedup_domains": url_dedup_domains,
+        "url_quality_filter": url_quality_filter,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2258,6 +2452,8 @@ FROM customer WHERE c_acctbal IS NOT NULL
         "doc_c4_filter": _doc_c4_filter_sql(),
         "doc_c4_line_filter": _doc_c4_line_filter_sql(),
         "doc_pii_scrub": f"SELECT doc_id, {pii_scrubbed} AS text_scrubbed FROM documents",
+        "doc_cc_scrub": _doc_cc_scrub_sql(),
+        "doc_normalize": _doc_normalize_sql(),
         "doc_fingerprint": (
             "SELECT doc_id, "
             + rolling_fingerprint64_duckdb_sql("text")
@@ -2279,6 +2475,7 @@ QUALIFY row_number() OVER (
         "doc_simhash_dedup": simhash_dedup_duckdb_sql("t.doc_id, t.n_chars"),
         "doc_jaccard_dedup": ngram_jaccard_dedup_duckdb_sql("t.doc_id, t.n_chars"),
         "doc_dup_clusters": _doc_dup_clusters_sql(),
+        "dedup_cluster_stats": _dedup_cluster_stats_sql(),
         "doc_pair_jaccard": _doc_pair_jaccard_sql(),
         "doc_decontaminate": _doc_decontaminate_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),
@@ -2293,6 +2490,7 @@ QUALIFY row_number() OVER (
         "doc_line_dedup": _doc_line_dedup_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "url_dedup_domains": _url_dedup_domains_sql(),
+        "url_quality_filter": _url_quality_filter_sql(),
         "ann_brute_topk": _ann_brute_topk_sql(),
         "ann_lsh_topk": lsh_topk_duckdb_sql("vec_id < 8"),
         "emb_cosine_dedup": embedding_cosine_dedup_duckdb_sql(

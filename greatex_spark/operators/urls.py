@@ -170,3 +170,75 @@ def dedup_by_url(df: DataFrame, url_col: str = "url") -> DataFrame:
         .drop("__canon")
     )
     return df.join(winners, url_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality scoring (RefinedWeb Appendix G.1 shape).
+#
+# Production crawls drop documents by URL alone before fetching or
+# featurizing the body: an exact domain blocklist (UT1-style) plus a
+# SOFT score — a weighted count of flagged substrings in the URL, so
+# one incidental hit ("sexton.example.org") stays below the drop
+# threshold while repeated/strong hits ("/porn/xxx-videos") exceed it.
+# The spec counts raw substring occurrences (no word boundaries —
+# RefinedWeb documents the same false-positive tradeoff); weights are
+# a literal table, swap in the real curated list at deployment.
+#
+# Occurrence counting is the replace-trick on the lowercased URL —
+# (len(u) - len(replace(u, kw, ''))) / len(kw) — identical integer
+# semantics in java.util.regex-free Spark exprs, DuckDB, and Python,
+# and whole-stage codegen keeps it a pure projection: zero shuffles,
+# pushdown-friendly.
+
+URL_KEYWORD_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("porn", 2.0),
+    ("xxx", 2.0),
+    ("sex", 1.0),
+    ("casino", 1.0),
+    ("poker", 1.0),
+    ("escort", 1.0),
+    ("viagra", 1.0),
+    ("webcam", 0.5),
+    ("bet", 0.5),
+)
+
+
+def url_quality_score(col: Column | str) -> Column:
+    """Weighted flagged-substring occurrence count over the lowercased
+    URL (double; 0.0 for a clean URL, NULL for NULL)."""
+    u = F.lower(F.col(col) if isinstance(col, str) else col)
+    score = F.lit(0.0)
+    for kw, w in URL_KEYWORD_WEIGHTS:
+        occurrences = (
+            F.length(u) - F.length(F.replace(u, F.lit(kw), F.lit("")))
+        ) / len(kw)
+        score = score + F.lit(float(w)) * occurrences
+    return score
+
+
+def url_quality_score_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_quality_score`."""
+    u = f"lower({expr})"
+    terms = [
+        f"{float(w)} * (length({u}) - length(replace({u}, '{kw}', ''))) / {len(kw)}"
+        for kw, w in URL_KEYWORD_WEIGHTS
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def filter_urls_by_quality(
+    df: DataFrame,
+    url_col: str = "url",
+    threshold: float = 1.0,
+    blocklist=(),
+) -> DataFrame:
+    """Keep rows whose URL is not domain-blocklisted and scores strictly
+    below ``threshold``.  Pure projection + filter — evaluated before
+    any fetch/featurize stage, this is the cheapest drop in the whole
+    pipeline and the filter pushes to the scan."""
+    canon = canonicalize_url(F.col(url_col))
+    dom = registered_domain(host_of(canon))
+    keep = url_quality_score(canon) < F.lit(float(threshold))
+    if blocklist:
+        keep = keep & ~dom.isin(*[str(d) for d in blocklist])
+    return df.where(keep)
