@@ -40,13 +40,18 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 # keep \t (0x09) and \n (0x0A); \r is already rewritten to \n by the
 # time this runs
 CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
 
 
-@pandas_udf("string")
+# StringType() (not the DDL string "string"): parsing a DDL return
+# type needs an active SparkContext, which would make importing this
+# module -- and thus building oracle SQL before a session exists --
+# blow up on the driver.
+@pandas_udf(StringType())
 def _nfc_udf(s: pd.Series) -> pd.Series:
     return s.str.normalize("NFC")
 
