@@ -1566,6 +1566,32 @@ def _doc_line_dedup_sql() -> str:
     return dedup_lines_duckdb_sql(f"read_parquet('{fixture}/*.parquet')")
 
 
+def doc_boilerplate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency boilerplate removal over the bronze fixture
+    (operators/linededup.py): every copy of a line seen in >=4 distinct
+    documents is cut — the complement of ``doc_line_dedup``'s
+    keep-one-owner rule, with a broadcast hot-set anti-join so corpus
+    text never shuffles for the decision."""
+    from greatex_spark.operators.linededup import remove_boilerplate_lines
+
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    return remove_boilerplate_lines(bronze.select("url", "text"), "text", "url")
+
+
+def _doc_boilerplate_trim_sql() -> str:
+    import os
+
+    from greatex_spark.operators.linededup import (
+        remove_boilerplate_lines_duckdb_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    fixture = _bronze_fixture(sf_dir)
+    return remove_boilerplate_lines_duckdb_sql(
+        f"read_parquet('{fixture}/*.parquet')"
+    )
+
+
 def doc_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on consecutive doc pairs (the verification
     kernel of near-dup dedup, isolated so DuckDB can replay it)."""
@@ -1896,6 +1922,89 @@ SELECT stage,
        CASE WHEN docs_in = 0 THEN 0.0
             ELSE (100.0 * (docs_in - docs_kept)) / docs_in END AS drop_pct
 FROM __funnel
+"""
+
+
+def corpus_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus report over the featurized silver
+    — the governance view a web-corpus curator reads first (FineWeb /
+    RefinedWeb publish exactly this table): pages crawled, pages kept,
+    keep rate, mean perplexity, token totals.
+
+    Spark shape: ONE hash aggregation keyed on the derived domain
+    (partial map-side combine; domain cardinality is ~millions at
+    crawl scale — tiny vs rows).  Float determinism for the oracle:
+    the perplexity mean is a DECIMAL(28,6) sum (exact, associative —
+    partial aggregation order cannot change it) finished by a single
+    IEEE double division; the keep rate is one multiply + one divide
+    of exact integers.  No window, no sort, no second scan."""
+    from greatex_spark.operators.urls import host_of, registered_domain
+
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    cfg = PipelineConfig(
+        dedup_hash_family="md5", arrow_features=False, hashed_ngrams=False
+    )
+    feat = featurize(bronze, cfg)
+    dom = registered_domain(host_of(F.col("url")))
+    return (
+        feat.select(dom.alias("domain"), "keep", "log_ppl", "n_tokens")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("pages"),
+            F.count_if(F.col("keep")).alias("kept_pages"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_tokens"))), F.lit(0)
+            ).cast("bigint").alias("kept_tokens"),
+            F.sum(F.col("log_ppl").cast("decimal(28,6)")).alias("__s"),
+            F.count("log_ppl").alias("__c"),
+        )
+        .select(
+            "domain",
+            "pages",
+            "kept_pages",
+            ((F.lit(100.0) * F.col("kept_pages")) / F.col("pages")).alias(
+                "keep_rate_pct"
+            ),
+            F.when(
+                F.col("__c") > 0, F.col("__s").cast("double") / F.col("__c")
+            ).alias("avg_log_ppl"),
+            "total_tokens",
+            "kept_tokens",
+        )
+    )
+
+
+def _corpus_domain_report_sql() -> str:
+    """DuckDB twin of :func:`corpus_domain_report`: same feat CTEs,
+    same domain derivation, same decimal-sum/single-division float
+    discipline."""
+    from greatex_spark.operators.urls import host_of_sql, registered_domain_sql
+
+    cfg = PipelineConfig(
+        dedup_hash_family="md5", arrow_features=False, hashed_ngrams=False
+    )
+    ctes = _pipeline_sql_ctes(cfg, upto="feat")
+    dom = registered_domain_sql(host_of_sql("url"))
+    return f"""
+WITH {ctes},
+__dom AS (
+  SELECT {dom} AS domain, keep, log_ppl, n_tokens FROM __feat),
+__agg AS (
+  SELECT domain,
+         count(*) AS pages,
+         count(*) FILTER (WHERE keep) AS kept_pages,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(coalesce(sum(n_tokens) FILTER (WHERE keep), 0) AS BIGINT)
+           AS kept_tokens,
+         sum(CAST(log_ppl AS DECIMAL(28,6))) AS __s,
+         count(log_ppl) AS __c
+  FROM __dom GROUP BY domain)
+SELECT domain, pages, kept_pages,
+       (100.0 * kept_pages) / pages AS keep_rate_pct,
+       CASE WHEN __c > 0 THEN CAST(__s AS DOUBLE) / __c END AS avg_log_ppl,
+       total_tokens, kept_tokens
+FROM __agg
 """
 
 
@@ -2359,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_score": doc_quality_score,
         "doc_token_budget": doc_token_budget,
         "doc_line_dedup": doc_line_dedup,
+        "doc_boilerplate_trim": doc_boilerplate_trim,
         "url_canonicalize": url_canonicalize,
         "url_dedup_domains": url_dedup_domains,
         "url_quality_filter": url_quality_filter,
@@ -2372,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pages_gold": pipeline_pages_gold,
         "pipeline_lineage_metrics": pipeline_lineage_metrics,
         "pipeline_stage_attrition": pipeline_stage_attrition,
+        "corpus_domain_report": corpus_domain_report,
         "pipeline_drop_audit": pipeline_drop_audit,
         "multimodal_features": multimodal_features,
     }
@@ -2488,6 +2599,7 @@ QUALIFY row_number() OVER (
         "doc_quality_score": _doc_quality_score_sql(),
         "doc_token_budget": _doc_token_budget_sql(),
         "doc_line_dedup": _doc_line_dedup_sql(),
+        "doc_boilerplate_trim": _doc_boilerplate_trim_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "url_dedup_domains": _url_dedup_domains_sql(),
         "url_quality_filter": _url_quality_filter_sql(),
@@ -2526,5 +2638,6 @@ FROM (
         # frame by the Spark-side projection)
         "pipeline_lineage_metrics": _pipeline_lineage_metrics_sql(),
         "pipeline_stage_attrition": _pipeline_stage_attrition_sql(),
+        "corpus_domain_report": _corpus_domain_report_sql(),
         "pipeline_drop_audit": _pipeline_drop_audit_sql(),
     }

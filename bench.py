@@ -199,6 +199,11 @@ def main() -> None:
               lambda: qs["pipeline_drop_audit"](spark, sf_dir).collect(), runs=2)
         timed("doc_token_budget",
               lambda: noop(qs["doc_token_budget"](spark, sf_dir)), runs=2)
+        timed("doc_boilerplate_trim",
+              lambda: noop(qs["doc_boilerplate_trim"](spark, sf_dir)), runs=2)
+        timed("corpus_domain_report",
+              lambda: qs["corpus_domain_report"](spark, sf_dir).collect(),
+              runs=2)
         # substring dedup benches the xxhash64 hot path (the md5 spec
         # family exists for the DuckDB twin, not for production scans)
         from greatex_spark.operators.substringdedup import (  # noqa: PLC0415

@@ -90,6 +90,113 @@ def dedup_lines(
     )
 
 
+DF_THRESHOLD = 4  # a line in >=4 distinct docs is boilerplate
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    min_len: int = MIN_LEN,
+    df_threshold: int = DF_THRESHOLD,
+) -> DataFrame:
+    """Document-frequency boilerplate removal — the OTHER half of
+    CCNet-style line hygiene.  :func:`dedup_lines` keeps one owner copy
+    of every repeated line; this operator removes EVERY copy of lines
+    whose document frequency reaches ``df_threshold`` (nav bars, cookie
+    banners, footers — text that is boilerplate *because* it repeats
+    across documents, worthless even once).
+
+    Output: ``id_col``, re-assembled ``text_col``, and
+    ``n_boilerplate_removed`` (lines cut from that document).
+    Documents that lose every line vanish.
+
+    Spark shape — and why it beats the owner-rule plan at 100 TB:
+
+    1. ``posexplode(split)`` — narrow;
+    2. ``groupBy(line_hash) → count_distinct(doc)`` filtered to
+       ``df >= threshold`` — ONE shuffle whose OUTPUT is only the hot
+       set.  Boilerplate is by definition a tiny number of DISTINCT
+       strings (each repeated millions of times), so the hot set is
+       kilobytes even for a 10^12-line corpus;
+    3. ``broadcast`` LEFT ANTI join of the exploded lines against the
+       hot hashes — the corpus text never shuffles for the decision
+       (``dedup_lines`` must join the FULL stats table back because
+       every line has an owner; here only the hot set travels);
+    4. re-assembly ``groupBy(doc)`` — the one unavoidable text shuffle.
+
+    Hash-only membership is sound: the hot set only contains hashes of
+    lines ``>= min_len``, and a line's length is a function of its
+    bytes, so short lines can only collide at the 60-bit birthday rate.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("__n"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    hashed = lines.withColumn("__h", md5_long(F.col("__line"))).withColumn(
+        "__dedupable", F.length("__line") >= F.lit(min_len)
+    )
+    hot = (
+        hashed.where(F.col("__dedupable"))
+        .groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .where(F.col("__df") >= F.lit(df_threshold))
+        .select("__h")
+    )
+    survivors = hashed.join(F.broadcast(hot), "__h", "left_anti")
+    return (
+        survivors.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            (F.max("__n") - F.count(F.lit(1))).cast("int").alias(
+                "n_boilerplate_removed"
+            ),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def remove_boilerplate_lines_duckdb_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "url",
+    min_len: int = MIN_LEN,
+    df_threshold: int = DF_THRESHOLD,
+) -> str:
+    """DuckDB twin of :func:`remove_boilerplate_lines` — same split,
+    hash family, document-frequency rule, and the same max(pos)-count
+    removed-line derivation."""
+    return f"""
+WITH __lines AS MATERIALIZED (
+  SELECT {id_col} AS __id,
+         len(string_split({text_col}, chr(10))) AS __n,
+         unnest(string_split({text_col}, chr(10))) AS __line,
+         unnest(range(0, len(string_split({text_col}, chr(10))))) AS __pos
+  FROM {table}),
+__hashed AS (
+  SELECT __id, __n, __pos, __line, {md5_long_sql('__line')} AS __h,
+         length(__line) >= {min_len} AS __dedupable
+  FROM __lines),
+__hot AS (
+  SELECT __h FROM __hashed WHERE __dedupable
+  GROUP BY __h HAVING count(DISTINCT __id) >= {df_threshold}),
+__survivors AS (
+  SELECT h.__id, h.__n, h.__pos, h.__line
+  FROM __hashed h ANTI JOIN __hot t ON h.__h = t.__h)
+SELECT __id AS {id_col},
+       string_agg(__line, chr(10) ORDER BY __pos) AS {text_col},
+       CAST(max(__n) - count(*) AS INT) AS n_boilerplate_removed
+FROM __survivors GROUP BY __id
+"""
+
+
 def dedup_lines_duckdb_sql(
     table: str,
     text_col: str = "text",

@@ -205,3 +205,20 @@ class TestNormalizeText:
         s = "mixed\r\ncafé\x00\n\n\n\nend"
         once = normalize_text_py(s)
         assert normalize_text_py(once) == once
+
+
+class TestCorpusDomainReport:
+    def test_invariants_and_single_agg(self, spark):
+        import __spark_entry__ as entry
+
+        df = entry.corpus_domain_report(spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        assert rows, "fixture has at least one domain"
+        for r in rows:
+            assert 0 <= r.kept_pages <= r.pages
+            assert 0.0 <= r.keep_rate_pct <= 100.0
+            assert r.kept_tokens <= r.total_tokens
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one hash aggregation keyed on domain: no window, no sort
+        assert "Window" not in plan
+        assert "Sort" not in plan
