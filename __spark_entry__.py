@@ -1592,6 +1592,29 @@ def _doc_boilerplate_trim_sql() -> str:
     )
 
 
+def doc_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale character-trigram LM fit over the bronze fixture
+    (functions/ngram_lm.py) — the training half of the CCNet perplexity
+    loop: one corpus pass emits trigrams, bigram/unigram counters and
+    MLE log-probs derive from the model-sized count table."""
+    from greatex_spark.functions.ngram_lm import ngram_lm_fit
+
+    bronze = spark.read.parquet(_bronze_fixture(sf_dir))
+    return ngram_lm_fit(bronze.select("text"), min_count=25)
+
+
+def _doc_ngram_lm_sql() -> str:
+    import os
+
+    from greatex_spark.functions.ngram_lm import ngram_lm_fit_duckdb_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    fixture = _bronze_fixture(sf_dir)
+    return ngram_lm_fit_duckdb_sql(
+        f"read_parquet('{fixture}/*.parquet')", min_count=25
+    )
+
+
 def doc_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on consecutive doc pairs (the verification
     kernel of near-dup dedup, isolated so DuckDB can replay it)."""
@@ -2469,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": doc_token_budget,
         "doc_line_dedup": doc_line_dedup,
         "doc_boilerplate_trim": doc_boilerplate_trim,
+        "doc_ngram_lm": doc_ngram_lm,
         "url_canonicalize": url_canonicalize,
         "url_dedup_domains": url_dedup_domains,
         "url_quality_filter": url_quality_filter,
@@ -2600,6 +2624,7 @@ QUALIFY row_number() OVER (
         "doc_token_budget": _doc_token_budget_sql(),
         "doc_line_dedup": _doc_line_dedup_sql(),
         "doc_boilerplate_trim": _doc_boilerplate_trim_sql(),
+        "doc_ngram_lm": _doc_ngram_lm_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "url_dedup_domains": _url_dedup_domains_sql(),
         "url_quality_filter": _url_quality_filter_sql(),

@@ -204,6 +204,8 @@ def main() -> None:
         timed("corpus_domain_report",
               lambda: qs["corpus_domain_report"](spark, sf_dir).collect(),
               runs=2)
+        timed("doc_ngram_lm",
+              lambda: noop(qs["doc_ngram_lm"](spark, sf_dir)), runs=2)
         # substring dedup benches the xxhash64 hot path (the md5 spec
         # family exists for the DuckDB twin, not for production scans)
         from greatex_spark.operators.substringdedup import (  # noqa: PLC0415
