@@ -1714,6 +1714,29 @@ def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/ann.py):
+    drop corpus vectors whose cosine vs ANY benchmark vector (the
+    deterministic vec_id % 31 eval slice) reaches the threshold —
+    the semantic complement of doc_decontaminate's 13-gram rule.
+    Broadcast nested-loop semi join: the corpus never shuffles."""
+    from greatex_spark.operators.ann import embedding_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 31 == 0)
+    return embedding_decontaminate(emb, bench, dim=64, threshold=0.35).select(
+        "vec_id", "label"
+    )
+
+
+def _emb_decontaminate_sql() -> str:
+    from greatex_spark.operators.ann import embedding_decontaminate_duckdb_sql
+
+    return embedding_decontaminate_duckdb_sql(
+        "t.vec_id, t.label", threshold=0.35
+    )
+
+
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (sixth dedup family, Abbas et al. 2023): k-means cells
     as semantic candidate groups, within-cell cosine drop rule, bounded
@@ -2501,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "emb_cosine_dedup": emb_cosine_dedup,
         "emb_semdedup": emb_semdedup,
+        "emb_decontaminate": emb_decontaminate,
         "doc_dsir_sample": doc_dsir_sample,
         "emb_label_stats": emb_label_stats,
         "pipeline_pages_gold": pipeline_pages_gold,
@@ -2633,6 +2657,7 @@ QUALIFY row_number() OVER (
         "emb_cosine_dedup": embedding_cosine_dedup_duckdb_sql(
             "t.vec_id, t.label", threshold=0.3
         ),
+        "emb_decontaminate": _emb_decontaminate_sql(),
         "emb_label_stats": """
 SELECT label, count(*) AS n,
   min(CAST(embedding[1] AS DOUBLE)) AS min_first,

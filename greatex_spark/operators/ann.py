@@ -1198,6 +1198,76 @@ def embedding_cosine_dedup(
     return df.join(dropped, on=id_col, how="left_anti")
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: remove corpus rows
+    whose cosine similarity to ANY benchmark vector reaches
+    ``threshold``.  The semantic complement of the 13-gram rule in
+    :mod:`greatex_spark.operators.decontaminate` — paraphrased eval
+    leakage shares no n-gram but sits next to the benchmark in
+    embedding space (the SemDeDup observation applied to eval hygiene).
+
+    Spark shape, mirroring the n-gram decontaminator's scale story:
+    the benchmark side is tiny by definition, so the pair evaluation
+    is a **broadcast** nested-loop join — the corpus never shuffles to
+    learn which rows are contaminated.  Norms are computed once per
+    vector on each side BEFORE the join (the per-pair work is only the
+    dot fold).  The semi join emits each contaminated id once (no
+    distinct needed), and the only remaining exchange is the ids-only
+    broadcast for the final ``left_anti`` rejoin.
+
+    Deterministic: the sequential IEEE dot/norm folds match the DuckDB
+    twin term-for-term (same family as ``embedding_cosine_dedup``).
+    """
+    bench = F.broadcast(
+        benchmark.select(
+            F.col(vec_col).alias("__bv"),
+            l2_norm(F.col(vec_col)).alias("__bn"),  # once per bench vector
+        )
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),  # once per corpus row
+    )
+    denom = F.col("__cn") * F.col("__bn")
+    cos = F.when(
+        denom > 0, dot(F.col("__cv"), F.col("__bv")) / denom
+    ).otherwise(F.lit(0.0))
+    contaminated = corp.join(bench, cos >= F.lit(threshold), "left_semi").select(
+        F.col("__cid").alias(id_col)
+    )  # semi join: already one row per contaminated corpus id — no distinct
+    return corpus.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+
+
+def embedding_decontaminate_duckdb_sql(
+    select_cols: str,
+    corpus_table: str = "embeddings",
+    benchmark_sql: str = "SELECT * FROM embeddings WHERE vec_id % 31 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> str:
+    """Oracle for :func:`embedding_decontaminate`: same sequential
+    cosine fold, EXISTS membership, NOT-IN rejoin."""
+    cos = _seq_cosine_sql(f"c.{vec_col}", f"b.{vec_col}", dim)
+    return f"""
+WITH __benchmark AS MATERIALIZED ({benchmark_sql}),
+__bad AS (
+  SELECT DISTINCT c.{id_col}
+  FROM {corpus_table} c JOIN __benchmark b ON {cos} >= {threshold})
+SELECT {select_cols} FROM {corpus_table} t
+WHERE t.{id_col} NOT IN (SELECT {id_col} FROM __bad)
+"""
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup = k-means clustering + within-cluster cosine
 

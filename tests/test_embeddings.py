@@ -172,3 +172,63 @@ def test_candidate_fraction_instrumentation(spark, emb):
     assert sum(counts.values()) == N
     frac = sum(counts.get(c, 0) * len(ql) for c, ql in cq.items()) / (N * 64)
     assert 0 < frac < 0.5, frac
+
+
+class TestEmbeddingDecontaminate:
+    def test_contaminated_rows_dropped(self, spark):
+        from greatex_spark.operators.ann import embedding_decontaminate
+
+        rows = [
+            (0, [1.0, 0.0, 0.0], "bench"),   # benchmark member
+            (1, [0.99, 0.1, 0.0], "near"),   # cosine ~0.995 -> contaminated
+            (2, [0.0, 1.0, 0.0], "clean"),   # orthogonal -> survives
+            (3, [-1.0, 0.0, 0.0], "anti"),   # cosine -1 -> survives
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<float>, label string"
+        )
+        bench = df.where(F.col("vec_id") == 0)
+        out = embedding_decontaminate(df, bench, dim=3, threshold=0.9)
+        assert {r.vec_id for r in out.collect()} == {2, 3}
+
+    def test_duckdb_twin_parity(self, spark, emb):
+        import duckdb
+
+        from greatex_spark.operators.ann import (
+            embedding_decontaminate,
+            embedding_decontaminate_duckdb_sql,
+        )
+
+        corpus = emb.where(F.col("vec_id") < 500)
+        bench = corpus.where(F.col("vec_id") % 17 == 0)
+        got = {
+            r.vec_id
+            for r in embedding_decontaminate(
+                corpus, bench, dim=DIM, threshold=0.6
+            ).collect()
+        }
+        pdf = corpus.select("vec_id", "embedding").toPandas()
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+        sql = embedding_decontaminate_duckdb_sql(
+            "t.vec_id",
+            benchmark_sql="SELECT * FROM embeddings WHERE vec_id % 17 = 0",
+            dim=DIM,
+            threshold=0.6,
+        )
+        want = {r[0] for r in con.execute(sql).fetchall()}
+        assert got == want
+
+    def test_corpus_never_shuffles_for_decision(self, spark, emb):
+        from greatex_spark.operators.ann import embedding_decontaminate
+
+        bench = emb.where(F.col("vec_id") % 97 == 0)
+        plan = (
+            embedding_decontaminate(emb, bench, dim=DIM, threshold=0.9)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan and "LeftSemi" in plan
+        # both joins broadcast: no hash-partitioned exchange anywhere
+        assert "Exchange hashpartitioning" not in plan
