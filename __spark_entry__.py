@@ -1615,6 +1615,24 @@ def _doc_ngram_lm_sql() -> str:
     )
 
 
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy audit (operators/dedup.py): for the
+    bounded consecutive-pair sample, the 64-permutation signature-
+    agreement estimate next to the exact 5-shingle Jaccard and the
+    absolute error — the measurement a corpus owner reads before
+    trusting LSH dedup at scale."""
+    from greatex_spark.operators.dedup import minhash_accuracy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_accuracy_pairs(docs)
+
+
+def _dedup_minhash_eval_sql() -> str:
+    from greatex_spark.operators.dedup import minhash_accuracy_pairs_duckdb_sql
+
+    return minhash_accuracy_pairs_duckdb_sql()
+
+
 def doc_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on consecutive doc pairs (the verification
     kernel of near-dup dedup, isolated so DuckDB can replay it)."""
@@ -2516,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": doc_line_dedup,
         "doc_boilerplate_trim": doc_boilerplate_trim,
         "doc_ngram_lm": doc_ngram_lm,
+        "dedup_minhash_eval": dedup_minhash_eval,
         "url_canonicalize": url_canonicalize,
         "url_dedup_domains": url_dedup_domains,
         "url_quality_filter": url_quality_filter,
@@ -2649,6 +2668,7 @@ QUALIFY row_number() OVER (
         "doc_line_dedup": _doc_line_dedup_sql(),
         "doc_boilerplate_trim": _doc_boilerplate_trim_sql(),
         "doc_ngram_lm": _doc_ngram_lm_sql(),
+        "dedup_minhash_eval": _dedup_minhash_eval_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
         "url_dedup_domains": _url_dedup_domains_sql(),
         "url_quality_filter": _url_quality_filter_sql(),

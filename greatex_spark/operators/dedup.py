@@ -67,24 +67,47 @@ def md5_long_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-def perm_constants(num_perm: int, seed: int = 11) -> list[tuple[int, int]]:
-    """Seeded (a, b) pairs for the universal-hash MinHash permutations;
-    shared by the Spark builder and the DuckDB SQL generator."""
+def perm_constants(num_perm: int, seed: int = 11) -> list[tuple[int, int, int, int]]:
+    """Seeded (a₁, b₁, a₂, b₂) quadruples for the TWO-ROUND affine
+    MinHash permutations; shared by the Spark builder and the DuckDB
+    SQL generator.
+
+    Why two rounds: a single ``(a·(h mod 2³¹−1) + b) mod M61`` with
+    ``a < 2³¹`` (the 64-bit-overflow-safe range) wraps the modulus at
+    most twice, so it is near-MONOTONE in ``h mod 2³¹−1`` — the 64
+    "permutations" pick correlated minima and the Jaccard estimate is
+    wildly biased (measured on the accuracy-eval pair sample: MAE
+    0.266, max error 0.82 — an est of 0.25 for a true Jaccard of
+    0.984).  Composing a second independent affine round over the
+    first round's 31-bit reduction restores mixing: measured MAE
+    0.039 / max 0.127, statistically identical to the ideal
+    full-range-coefficient construction (0.037 / 0.114) at the Broder
+    σ≈1/√64 noise floor.  Every intermediate stays under 2⁶³, so both
+    engines compute identical values in plain 64-bit integers."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MOD31, num_perm)
-    b = rng.integers(0, MOD31, num_perm)
-    return [(int(x), int(y)) for x, y in zip(a, b)]
+    a1 = rng.integers(1, MOD31, num_perm)
+    b1 = rng.integers(0, MOD31, num_perm)
+    a2 = rng.integers(1, MOD31, num_perm)
+    b2 = rng.integers(0, MOD31, num_perm)
+    return [
+        (int(w), int(x), int(y), int(z)) for w, x, y, z in zip(a1, b1, a2, b2)
+    ]
 
 
-def _perm(h: Column, a: int, b: int) -> Column:
-    # a, h%MOD31 < 2^31 → product < 2^62: no 64-bit overflow in either engine
-    return (F.lit(a).cast("long") * (h % F.lit(MOD31)) + F.lit(b).cast("long")) % F.lit(
-        MERSENNE61
-    )
+def _perm(h: Column, a1: int, b1: int, a2: int, b2: int) -> Column:
+    # round 1: a₁, h%MOD31 < 2^31 → product < 2^62, no 64-bit overflow;
+    # round 2 re-reduces the 61-bit state to 31 bits first, same bound
+    g = (
+        F.lit(a1).cast("long") * (h % F.lit(MOD31)) + F.lit(b1).cast("long")
+    ) % F.lit(MERSENNE61)
+    return (
+        F.lit(a2).cast("long") * (g % F.lit(MOD31)) + F.lit(b2).cast("long")
+    ) % F.lit(MERSENNE61)
 
 
-def _perm_sql(h: str, a: int, b: int) -> str:
-    return f"(({a}::BIGINT * ({h} % {MOD31}) + {b}::BIGINT) % {MERSENNE61})"
+def _perm_sql(h: str, a1: int, b1: int, a2: int, b2: int) -> str:
+    g = f"(({a1}::BIGINT * ({h} % {MOD31}) + {b1}::BIGINT) % {MERSENNE61})"
+    return f"(({a2}::BIGINT * ({g} % {MOD31}) + {b2}::BIGINT) % {MERSENNE61})"
 
 
 # shingle hashes compose NUMERICALLY from per-word md5 hashes (shingle
@@ -325,10 +348,12 @@ def minhash_signature(
     family: str = "xxhash64",
 ) -> Column:
     """Array of ``num_perm`` min-hashes.  Permutation *i* is
-    ``xxhash64(lit(i), shingle_hash)`` for the xxhash64 family, or the
-    literal universal-hash ``(aᵢ·(h mod 2³¹−1) + bᵢ) mod 2⁶¹−1`` for the
-    md5 family — independent hash functions from one seeded family,
-    evaluated entirely in JVM expressions.
+    ``xxhash64(lit(i), shingle_hash)`` for the xxhash64 family, or a
+    TWO-ROUND literal affine map ``g = (a₁ᵢ·(h mod 2³¹−1) + b₁ᵢ) mod
+    2⁶¹−1``; ``(a₂ᵢ·(g mod 2³¹−1) + b₂ᵢ) mod 2⁶¹−1`` for the md5 family
+    (see :func:`perm_constants` for why one round is biased) —
+    independent hash functions from one seeded family, evaluated
+    entirely in JVM expressions.
 
     The base shingle-hash array is **let-bound** (see
     :mod:`greatex_spark.functions.exprs`): it is evaluated once per row,
@@ -344,21 +369,29 @@ def minhash_signature(
         # form was a measured ~3× slowdown from sheer interpreted-plan
         # size, with identical values
         consts = perm_constants(num_perm)
-        arr_a = F.array(*[F.lit(a).cast("long") for a, _ in consts])
-        arr_b = F.array(*[F.lit(b).cast("long") for _, b in consts])
+        arr_a1 = F.array(*[F.lit(c[0]).cast("long") for c in consts])
+        arr_b1 = F.array(*[F.lit(c[1]).cast("long") for c in consts])
+        arr_a2 = F.array(*[F.lit(c[2]).cast("long") for c in consts])
+        arr_b2 = F.array(*[F.lit(c[3]).cast("long") for c in consts])
+
+        def _two_round(h: Column, i: Column) -> Column:
+            # see perm_constants: one affine round barely wraps M61 and
+            # is near-monotone — two rounds restore min-wise mixing
+            g = (
+                F.element_at(arr_a1, i + 1) * (h % F.lit(MOD31))
+                + F.element_at(arr_b1, i + 1)
+            ) % F.lit(MERSENNE61)
+            return (
+                F.element_at(arr_a2, i + 1) * (g % F.lit(MOD31))
+                + F.element_at(arr_b2, i + 1)
+            ) % F.lit(MERSENNE61)
+
         return let(
             base,
             lambda bh: F.transform(
                 F.sequence(F.lit(0), F.lit(num_perm - 1)),
                 lambda i: F.array_min(
-                    F.transform(
-                        bh,
-                        lambda h: (
-                            F.element_at(arr_a, i + 1) * (h % F.lit(MOD31))
-                            + F.element_at(arr_b, i + 1)
-                        )
-                        % F.lit(MERSENNE61),
-                    )
+                    F.transform(bh, lambda h: _two_round(h, i))
                 ),
             ),
         )
@@ -776,8 +809,8 @@ def _minhash_ctes_sql(
     r = num_perm // num_bands
     sh = shingles_select_sql(table, id_col, text_col, shingle_k)
     sig_elems = ", ".join(
-        f"list_min(list_transform(h, x -> {_perm_sql('x', a, b)}))"
-        for a, b in perm_constants(num_perm)
+        f"list_min(list_transform(h, x -> {_perm_sql('x', a1, b1, a2, b2)}))"
+        for a1, b1, a2, b2 in perm_constants(num_perm)
     )
     sig = f"SELECT {id_col}, [{sig_elems}] AS s FROM __sh"
     band_selects = []
@@ -928,3 +961,119 @@ __vpairs AS (
         THEN CAST(len(list_intersect(a.gh, b.gh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.gh, b.gh)))
         ELSE 0.0 END >= {threshold})"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy evaluation: estimator vs exact Jaccard
+
+
+def minhash_accuracy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    max_id: int = 200,
+) -> DataFrame:
+    """Measured-not-asserted dedup accuracy: for a deterministic bounded
+    pair sample (consecutive ids below ``max_id`` — the same sample rule
+    as the exact-Jaccard verification kernel), emit the MinHash
+    signature-agreement ESTIMATE next to the exact shingle-set Jaccard
+    it estimates, plus the absolute error.
+
+    This is the operator a corpus owner runs before trusting
+    ``minhash_lsh_dedup`` at 100 TB: E[est] = exact Jaccard (Broder
+    1997), and the observed error distribution at ``num_perm``
+    permutations decides whether the signature is wide enough.  The
+    pair sample is bounded by construction (``max_id`` consecutive
+    pairs), so cost is O(sample), never O(corpus²).
+
+    All math is native and oracle-exact: md5-family signatures (literal
+    permutation constants), ``zip_with`` position agreement, and two
+    single IEEE divisions (matches/num_perm, inter/union).
+    """
+    sigs = df.where(F.col(id_col) < max_id + 1).select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_perm, shingle_k, family="md5").alias(
+            "__sig"
+        ),
+        shingle_hashes(F.col(text_col), shingle_k, family="md5").alias("__sh"),
+    )
+    a = sigs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sig").alias("__sa"),
+        F.col("__sh").alias("__ha"),
+    )
+    b = sigs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sig").alias("__sb"),
+        F.col("__sh").alias("__hb"),
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("__sa"),
+            F.col("__sb"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast("double")
+    union = F.size(F.array_union(F.col("__ha"), F.col("__hb"))).cast("double")
+    exact = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    est = matches.cast("double") / F.lit(float(num_perm))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .where(F.col("id_a") < max_id)
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
+def minhash_accuracy_pairs_duckdb_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    max_id: int = 200,
+) -> str:
+    """Oracle for :func:`minhash_accuracy_pairs`: same shingle CTEs and
+    literal permutation constants as the minhash dedup twin, same
+    position-agreement count, same two single divisions."""
+    sh = shingles_select_sql(
+        f"(SELECT * FROM {table} WHERE {id_col} < {max_id + 1})", id_col, text_col,
+        shingle_k,
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, x -> {_perm_sql('x', a1, b1, a2, b2)}))"
+        for a1, b1, a2, b2 in perm_constants(num_perm)
+    )
+    return f"""
+WITH __sh AS MATERIALIZED ({sh}),
+__sig AS MATERIALIZED (
+  SELECT {id_col}, h, [{sig_elems}] AS s FROM __sh),
+__pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         a.s AS sa, b.s AS sb, a.h AS ha, b.h AS hb
+  FROM __sig a JOIN __sig b ON b.{id_col} = a.{id_col} + 1
+  WHERE a.{id_col} < {max_id}),
+__scored AS (
+  SELECT id_a, id_b,
+    CAST(len(list_filter(range(1, {num_perm + 1}),
+                         i -> sa[i] = sb[i])) AS DOUBLE) / {float(num_perm)}
+      AS est_jaccard,
+    CASE WHEN len(list_distinct(list_concat(ha, hb))) > 0
+         THEN CAST(len(list_intersect(ha, hb)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(ha, hb))) AS DOUBLE)
+         ELSE 0.0 END AS exact_jaccard
+  FROM __pairs)
+SELECT id_a, id_b, est_jaccard, exact_jaccard,
+       abs(est_jaccard - exact_jaccard) AS abs_err
+FROM __scored
+"""

@@ -494,3 +494,38 @@ def test_semdedup_drops_planted_semantic_dups(spark):
     # the survivor rejoin must broadcast the dropped-id set
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestMinhashAccuracyEval:
+    def test_identical_and_disjoint_extremes(self, spark):
+        from greatex_spark.operators.dedup import minhash_accuracy_pairs
+
+        same = "the quick brown fox jumps over the lazy dog again and again today"
+        other = "completely different words about oceans tides currents reefs corals waves salt"
+        df = spark.createDataFrame(
+            [(0, same), (1, same), (2, other)], "doc_id long, text string"
+        )
+        rows = {r.id_a: r for r in minhash_accuracy_pairs(df, max_id=10).collect()}
+        # identical docs: est == exact == 1.0, zero error
+        assert rows[0].est_jaccard == 1.0
+        assert rows[0].exact_jaccard == 1.0
+        assert rows[0].abs_err == 0.0
+        # disjoint shingle sets: exact 0; estimate can only collide by hash
+        assert rows[1].exact_jaccard == 0.0
+        assert rows[1].est_jaccard <= 0.1
+
+    def test_estimator_tracks_exact(self, spark):
+        """On overlapping docs the 64-perm estimate stays within the
+        ~1/sqrt(64) Broder band of the exact Jaccard."""
+        from greatex_spark.operators.dedup import minhash_accuracy_pairs
+
+        base = ("w%d " * 60) % tuple(range(60))
+        rows = []
+        for i in range(20):
+            # doc i+1 shares a growing prefix with doc i
+            rows.append((i, base + ("x%d " * i) % tuple(range(i))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = minhash_accuracy_pairs(df, max_id=50).collect()
+        assert out, "sample pairs exist"
+        for r in out:
+            assert r.abs_err <= 0.25, (r.id_a, r.est_jaccard, r.exact_jaccard)
