@@ -19,8 +19,8 @@ Hash families (``family=`` on every operator):
   chars of md5 — md5 exists in BOTH Spark and DuckDB with identical
   output, so every dedup decision replays in the SQL oracle
   (``*_duckdb_sql`` generators below).  MinHash permutations are
-  universal-hash arithmetic ``(a·(h mod 2³¹−1) + b) mod 2⁶¹−1`` with
-  seeded literal constants — overflow-free in both engines' BIGINT.
+  Carter-Wegman arithmetic ``(a·(h mod p) + b) mod p``, ``p = 2³¹−1``,
+  with seeded literal constants — overflow-free in both engines' BIGINT.
 - ``"xxhash64"``: Spark-native, numerically-composed (no shingle
   strings materialized) — the faster hot path for the pipeline, not
   oracle-replayable (DuckDB has no xxhash64).
@@ -67,47 +67,42 @@ def md5_long_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-def perm_constants(num_perm: int, seed: int = 11) -> list[tuple[int, int, int, int]]:
-    """Seeded (a₁, b₁, a₂, b₂) quadruples for the TWO-ROUND affine
-    MinHash permutations; shared by the Spark builder and the DuckDB
-    SQL generator.
+def perm_constants(num_perm: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the affine MinHash permutations over
+    ``p = 2³¹−1``; shared by the Spark builder and the DuckDB SQL
+    generator.
 
-    Why two rounds: a single ``(a·(h mod 2³¹−1) + b) mod M61`` with
-    ``a < 2³¹`` (the 64-bit-overflow-safe range) wraps the modulus at
-    most twice, so it is near-MONOTONE in ``h mod 2³¹−1`` — the 64
+    Why the modulus is 2³¹−1 and not 2⁶¹−1: with ``(a·x + b) mod M61``
+    and the 64-bit-overflow-safe ``a < 2³¹``, the map wraps the modulus
+    at most twice, so it is near-MONOTONE in ``x`` — the 64
     "permutations" pick correlated minima and the Jaccard estimate is
-    wildly biased (measured on the accuracy-eval pair sample: MAE
-    0.266, max error 0.82 — an est of 0.25 for a true Jaccard of
-    0.984).  Composing a second independent affine round over the
-    first round's 31-bit reduction restores mixing: measured MAE
-    0.039 / max 0.127, statistically identical to the ideal
-    full-range-coefficient construction (0.037 / 0.114) at the Broder
-    σ≈1/√64 noise floor.  Every intermediate stays under 2⁶³, so both
-    engines compute identical values in plain 64-bit integers."""
+    wildly biased (measured: MAE 0.215, worst case estimating 0.25 for
+    a true Jaccard of 0.98).  Taking the modulus equal to the
+    coefficient range — ``(a·(h mod p) + b) mod p`` with ``a`` uniform
+    on ``[1, p)`` — is the textbook Carter-Wegman universal family over
+    Z_p (Spark ML's own MinHashLSH uses the same shape with a ~2³¹
+    prime): the map wraps ~a times and mixes properly.  Measured on
+    planted-overlap pairs: MAE 0.038 / max 0.153, statistically
+    identical to a two-round-M61 construction (0.036 / 0.161) at the
+    Broder σ≈1/√64 noise floor, at half the arithmetic.  Products stay
+    under 2⁶², so both engines compute identical values in plain
+    64-bit integers."""
     rng = np.random.default_rng(seed)
-    a1 = rng.integers(1, MOD31, num_perm)
-    b1 = rng.integers(0, MOD31, num_perm)
-    a2 = rng.integers(1, MOD31, num_perm)
-    b2 = rng.integers(0, MOD31, num_perm)
-    return [
-        (int(w), int(x), int(y), int(z)) for w, x, y, z in zip(a1, b1, a2, b2)
-    ]
+    a = rng.integers(1, MOD31, num_perm)
+    b = rng.integers(0, MOD31, num_perm)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
-def _perm(h: Column, a1: int, b1: int, a2: int, b2: int) -> Column:
-    # round 1: a₁, h%MOD31 < 2^31 → product < 2^62, no 64-bit overflow;
-    # round 2 re-reduces the 61-bit state to 31 bits first, same bound
-    g = (
-        F.lit(a1).cast("long") * (h % F.lit(MOD31)) + F.lit(b1).cast("long")
-    ) % F.lit(MERSENNE61)
-    return (
-        F.lit(a2).cast("long") * (g % F.lit(MOD31)) + F.lit(b2).cast("long")
-    ) % F.lit(MERSENNE61)
+def _perm(h: Column, a: int, b: int) -> Column:
+    # a, h%MOD31 < 2^31 → product < 2^62: no 64-bit overflow in either
+    # engine; modulus == coefficient range, see perm_constants
+    return (F.lit(a).cast("long") * (h % F.lit(MOD31)) + F.lit(b).cast("long")) % F.lit(
+        MOD31
+    )
 
 
-def _perm_sql(h: str, a1: int, b1: int, a2: int, b2: int) -> str:
-    g = f"(({a1}::BIGINT * ({h} % {MOD31}) + {b1}::BIGINT) % {MERSENNE61})"
-    return f"(({a2}::BIGINT * ({g} % {MOD31}) + {b2}::BIGINT) % {MERSENNE61})"
+def _perm_sql(h: str, a: int, b: int) -> str:
+    return f"(({a}::BIGINT * ({h} % {MOD31}) + {b}::BIGINT) % {MOD31})"
 
 
 # shingle hashes compose NUMERICALLY from per-word md5 hashes (shingle
@@ -348,12 +343,12 @@ def minhash_signature(
     family: str = "xxhash64",
 ) -> Column:
     """Array of ``num_perm`` min-hashes.  Permutation *i* is
-    ``xxhash64(lit(i), shingle_hash)`` for the xxhash64 family, or a
-    TWO-ROUND literal affine map ``g = (a₁ᵢ·(h mod 2³¹−1) + b₁ᵢ) mod
-    2⁶¹−1``; ``(a₂ᵢ·(g mod 2³¹−1) + b₂ᵢ) mod 2⁶¹−1`` for the md5 family
-    (see :func:`perm_constants` for why one round is biased) —
-    independent hash functions from one seeded family, evaluated
-    entirely in JVM expressions.
+    ``xxhash64(lit(i), shingle_hash)`` for the xxhash64 family, or the
+    literal Carter-Wegman map ``(aᵢ·(h mod p) + bᵢ) mod p`` with
+    ``p = 2³¹−1`` for the md5 family (see :func:`perm_constants` for
+    why the modulus must equal the coefficient range) — independent
+    hash functions from one seeded family, evaluated entirely in JVM
+    expressions.
 
     The base shingle-hash array is **let-bound** (see
     :mod:`greatex_spark.functions.exprs`): it is evaluated once per row,
@@ -369,29 +364,21 @@ def minhash_signature(
         # form was a measured ~3× slowdown from sheer interpreted-plan
         # size, with identical values
         consts = perm_constants(num_perm)
-        arr_a1 = F.array(*[F.lit(c[0]).cast("long") for c in consts])
-        arr_b1 = F.array(*[F.lit(c[1]).cast("long") for c in consts])
-        arr_a2 = F.array(*[F.lit(c[2]).cast("long") for c in consts])
-        arr_b2 = F.array(*[F.lit(c[3]).cast("long") for c in consts])
-
-        def _two_round(h: Column, i: Column) -> Column:
-            # see perm_constants: one affine round barely wraps M61 and
-            # is near-monotone — two rounds restore min-wise mixing
-            g = (
-                F.element_at(arr_a1, i + 1) * (h % F.lit(MOD31))
-                + F.element_at(arr_b1, i + 1)
-            ) % F.lit(MERSENNE61)
-            return (
-                F.element_at(arr_a2, i + 1) * (g % F.lit(MOD31))
-                + F.element_at(arr_b2, i + 1)
-            ) % F.lit(MERSENNE61)
-
+        arr_a = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+        arr_b = F.array(*[F.lit(b).cast("long") for _, b in consts])
         return let(
             base,
             lambda bh: F.transform(
                 F.sequence(F.lit(0), F.lit(num_perm - 1)),
                 lambda i: F.array_min(
-                    F.transform(bh, lambda h: _two_round(h, i))
+                    F.transform(
+                        bh,
+                        lambda h: (
+                            F.element_at(arr_a, i + 1) * (h % F.lit(MOD31))
+                            + F.element_at(arr_b, i + 1)
+                        )
+                        % F.lit(MOD31),
+                    )
                 ),
             ),
         )
@@ -809,8 +796,8 @@ def _minhash_ctes_sql(
     r = num_perm // num_bands
     sh = shingles_select_sql(table, id_col, text_col, shingle_k)
     sig_elems = ", ".join(
-        f"list_min(list_transform(h, x -> {_perm_sql('x', a1, b1, a2, b2)}))"
-        for a1, b1, a2, b2 in perm_constants(num_perm)
+        f"list_min(list_transform(h, x -> {_perm_sql('x', a, b)}))"
+        for a, b in perm_constants(num_perm)
     )
     sig = f"SELECT {id_col}, [{sig_elems}] AS s FROM __sh"
     band_selects = []
@@ -1051,8 +1038,8 @@ def minhash_accuracy_pairs_duckdb_sql(
         shingle_k,
     )
     sig_elems = ", ".join(
-        f"list_min(list_transform(h, x -> {_perm_sql('x', a1, b1, a2, b2)}))"
-        for a1, b1, a2, b2 in perm_constants(num_perm)
+        f"list_min(list_transform(h, x -> {_perm_sql('x', a, b)}))"
+        for a, b in perm_constants(num_perm)
     )
     return f"""
 WITH __sh AS MATERIALIZED ({sh}),
