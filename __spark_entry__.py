@@ -1710,6 +1710,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries_df, emb, k=5, nlist=8, nprobe=4)
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/ann.py:pq_topk, Jégou
+    et al. 2011): deterministic hash-sampled per-subspace Lloyd's
+    codebooks, corpus quantized to m=8 codes (the 16×-smaller stored
+    representation that makes embedding scans affordable at 100 TB),
+    exact queries broadcast into a flat asymmetric-distance scan.
+    Oracle-replayed end-to-end: the DuckDB twin retrains the identical
+    codebooks from the same parquet."""
+    from greatex_spark.operators.ann import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return pq_topk(queries_df, emb, k=5, m=8, ksub=16)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-k (bucketed candidates, exact rerank) —
     approximate by construction, so rows-only; recall is measured against
@@ -2400,6 +2415,24 @@ def _ann_ivf_oracle() -> dict[str, str]:
     return {"ann_ivf_topk": ivf_topk_duckdb_sql("vec_id < 8", cents, nprobe=4)}
 
 
+def _ann_pq_oracle() -> dict[str, str]:
+    """DuckDB twin of :func:`ann_pq_topk` — same retrained-quantizer
+    contract as :func:`_ann_ivf_oracle`, per-subspace codebooks."""
+    import os
+
+    from greatex_spark.operators.ann import (
+        pq_codebooks_from_parquet,
+        pq_topk_duckdb_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        cbs = pq_codebooks_from_parquet(f"{sf_dir}/embeddings.parquet", m=8, ksub=16)
+    except Exception:
+        return {}
+    return {"ann_pq_topk": pq_topk_duckdb_sql("vec_id < 8", cbs)}
+
+
 def _doc_dsir_oracle() -> dict[str, str]:
     """DuckDB twin of :func:`doc_dsir_sample` — refits both hashed LMs
     from the same parquet (identical integer counts → identical
@@ -2541,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "emb_cosine_dedup": emb_cosine_dedup,
         "emb_semdedup": emb_semdedup,
         "emb_decontaminate": emb_decontaminate,
@@ -2685,6 +2719,7 @@ SELECT label, count(*) AS n,
 FROM embeddings GROUP BY label
 """,
         **_ann_ivf_oracle(),
+        **_ann_pq_oracle(),
         **_emb_semdedup_oracle(),
         **_doc_dsir_oracle(),
         "pipeline_pages_gold": _pipeline_pages_gold_sql(),

@@ -1372,3 +1372,233 @@ dropped AS (
 SELECT {select_cols} FROM {table} t
 WHERE t.{id_col} NOT IN (SELECT did FROM dropped)
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half; Jégou et al. 2011)
+
+
+def train_pq_codebooks(
+    points: np.ndarray, m: int = 8, ksub: int = 16, max_iter: int = 10
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks for product quantization: split the
+    ``dim`` dimensions into ``m`` contiguous subspaces of ``dim/m``
+    and run the same deterministic driver-side Lloyd's
+    (:func:`train_centroids`) independently in each — ``m`` tables of
+    ``ksub`` sub-centroids.  Training input is the bounded hash-sample
+    (never the corpus), exactly like the IVF coarse quantizer."""
+    pts = np.asarray(points, dtype=np.float64)
+    dim = pts.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [
+        train_centroids(pts[:, j * dsub : (j + 1) * dsub], ksub, max_iter)
+        for j in range(m)
+    ]
+
+
+def pq_codebooks_from_parquet(
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 4096,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Replay PQ codebook training outside Spark (same contract as
+    :func:`ivf_centroids_from_parquet`): identical hash sample via
+    DuckDB, identical numpy Lloyd's per subspace — codebooks equal
+    :func:`pq_topk`'s bit-for-bit, so they embed as oracle literals."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {vec_col} FROM read_parquet('{path}') "
+        f"ORDER BY ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT, "
+        f"{id_col} LIMIT {train_sample}"
+    ).fetchall()
+    con.close()
+    pts = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return train_pq_codebooks(pts, m, ksub, max_iter)
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ codes: array of ``m`` sub-centroid indexes, subspace *j*'s
+    entry the argmin squared-L2 sub-centroid for the *j*-th slice of
+    ``vec`` (ties to the lowest index via the same sorted-struct rule
+    as IVF cell assignment).  A pure projection — this is the column a
+    production corpus PERSISTS: ``m`` small ints (≲``m`` bytes with
+    ``ksub ≤ 256``) instead of ``4·dim`` float bytes, a ~``4·dim/m``×
+    scan-IO reduction, which is the whole point of PQ at 100 TB."""
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.element_at(
+                _cell_structs(F.slice(vec, j * dsub + 1, dsub), codebooks[j]), 1
+            )["i"]
+            for j in range(len(codebooks))
+        ]
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+    train_sample: int = 4096,
+    max_iter: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k (Jégou et al. 2011): the corpus is
+    quantized to ``m`` sub-centroid codes, queries stay exact, and the
+    rank key is the squared L2 between the exact query and the
+    DEQUANTIZED corpus vector — smallest distance first.
+
+    Scale shape: codebooks train driver-side on the bounded hash
+    sample; encoding + dequantization is one corpus projection (at
+    10^12 rows the stored representation is the code column — ``m``
+    bytes/row instead of ``4·dim`` — and this operator's scan reads
+    only it); the tiny query side broadcasts into a nested-loop join,
+    so the corpus never shuffles.  Compose with the IVF cell column
+    (:func:`ivf_topk`) to prune candidates before the ADC scan — this
+    operator is the compression half, flat-scan mode.
+
+    Approximate by construction (quantization error): measure recall
+    against :func:`brute_force_topk`.  Fully oracle-replayable — same
+    literal codebooks, same argmin tie rule, same sequential IEEE
+    fold (:func:`pq_topk_duckdb_sql`)."""
+    if codebooks is None:
+        rows = _hash_sample(corpus, id_col, vec_col, train_sample).collect()
+        pts = _vec_matrix([r[1] for r in rows])
+        codebooks = train_pq_codebooks(pts, m, ksub, max_iter)
+    from greatex_spark.functions.exprs import let
+
+    cb_lit = F.lit([[[float(x) for x in c] for c in cb] for cb in codebooks])
+
+    # dequantize once per corpus row (not per pair): concatenated
+    # sub-centroid literals — no FP arithmetic, exact in both engines.
+    # The code array is LET-BOUND: without it CollapseProject inlines
+    # the full m-argmin encode into every element_at reference (m²
+    # argmins per row).
+    recon = let(
+        pq_encode(F.col("__cv"), codebooks),
+        lambda code: F.flatten(
+            F.array(
+                *[
+                    F.element_at(
+                        F.element_at(cb_lit, j + 1), F.element_at(code, j + 1) + 1
+                    )
+                    for j in range(len(codebooks))
+                ]
+            )
+        ),
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).select("neighbor_id", recon.alias("__recon"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("__recon"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(d2, score_decimals).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
+def _codebooks_sql(codebooks: list[list[list[float]]]) -> str:
+    return (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cb
+            )
+            + "]"
+            for cb in codebooks
+        )
+        + "]"
+    )
+
+
+def pq_topk_duckdb_sql(
+    query_filter: str,
+    codebooks: list[list[list[float]]],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> str:
+    """Oracle for :func:`pq_topk`: the same literal codebooks, the same
+    sorted-struct argmin per subspace (``list_reduce`` folds from the
+    first element = Spark's 0.0-seeded fold), dequantized literals
+    concatenated in subspace order, one sequential IEEE fold for the
+    asymmetric distance."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    sub_diff = f"(CAST(c.{vec_col}[(j - 1) * {dsub} + i] AS DOUBLE) - cb[j][t][i])"
+    sub_d2 = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), i -> {sub_diff} * {sub_diff}), "
+        f"(a, b) -> a + b)"
+    )
+    argmin = (
+        f"list_sort(list_transform(range(1, {ksub + 1}), "
+        f"t -> {{'d': {sub_d2}, 'i': t - 1}}))[1].i"
+    )
+    qdiff = f"(CAST(q.qemb[i] AS DOUBLE) - cd.recon[i])"
+    qd2 = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> {qdiff} * {qdiff}), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+WITH cbs AS (SELECT {_codebooks_sql(codebooks)} AS cb),
+codes AS (
+  SELECT c.{id_col} AS neighbor_id,
+         list_transform(range(1, {m + 1}), j -> ({argmin})) AS code
+  FROM {table} c, cbs),
+deq AS (
+  SELECT neighbor_id,
+         flatten(list_transform(range(1, {m + 1}), j -> cb[j][code[j] + 1])) AS recon
+  FROM codes, cbs),
+qs AS (SELECT {id_col} AS query_id, {vec_col} AS qemb FROM {table} WHERE {query_filter}),
+scored AS (
+  SELECT q.query_id, cd.neighbor_id, round({qd2}, 6) AS dist
+  FROM qs q CROSS JOIN deq cd WHERE cd.neighbor_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC)
+           AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist
+FROM ranked WHERE rank <= {k}
+"""

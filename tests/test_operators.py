@@ -529,3 +529,81 @@ class TestMinhashAccuracyEval:
         assert out, "sample pairs exist"
         for r in out:
             assert r.abs_err <= 0.25, (r.id_a, r.est_jaccard, r.exact_jaccard)
+
+
+class TestPQTopk:
+    def _corpus(self, spark, n=120, dim=16, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # clustered corpus: 4 centers, tight noise — PQ-friendly
+        centers = rng.normal(0, 1, (4, dim))
+        rows = []
+        for i in range(n):
+            v = centers[i % 4] + rng.normal(0, 0.05, dim)
+            rows.append((i, [float(x) for x in v]))
+        return rows
+
+    def test_planted_duplicate_is_rank1(self, spark):
+        from greatex_spark.operators.ann import pq_topk
+
+        rows = self._corpus(spark)
+        rows[77] = (77, rows[5][1])  # exact duplicate of vec 5
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = pq_topk(df.where("vec_id = 5"), df, k=3, m=4, ksub=16).collect()
+        top1 = [r for r in out if r["rank"] == 1][0]
+        # identical vectors share codes; asymmetric distance to the
+        # duplicate equals the query's OWN quantization error — small
+        # (tight clusters) but not zero, and strictly the minimum
+        assert top1["neighbor_id"] == 77
+        assert top1["dist"] < 0.1
+        assert all(top1["dist"] <= r["dist"] for r in out)
+
+    def test_recall_vs_exact_l2(self, spark):
+        """Recall is meaningful when true neighbors are separated by
+        more than the quantization error: 30 well-separated clusters
+        of 4 — PQ must retrieve cluster-mates, not resolve orderings
+        finer than its code resolution."""
+        import numpy as np
+
+        from greatex_spark.operators.ann import pq_topk
+
+        rng = np.random.default_rng(3)
+        centers = rng.normal(0, 5, (30, 16))
+        rows = [
+            (i, [float(x) for x in centers[i % 30] + rng.normal(0, 0.05, 16)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = pq_topk(df.where("vec_id < 6"), df, k=3, m=4, ksub=16).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        mat = np.array([r[1] for r in rows])
+        hits = tot = 0
+        for q in range(6):
+            d2 = ((mat - mat[q]) ** 2).sum(axis=1)
+            d2[q] = np.inf
+            exact = set(int(i) for i in np.argsort(d2, kind="stable")[:3])
+            hits += len(got[q] & exact)
+            tot += 3
+        assert hits / tot >= 0.8, hits / tot
+
+    def test_corpus_never_shuffles(self, spark):
+        from greatex_spark.operators.ann import pq_topk
+
+        rows = self._corpus(spark)
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = pq_topk(df.where("vec_id < 2"), df, k=3, m=4, ksub=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # query side broadcasts; the only exchange is the final per-query
+        # row_number partitioning over (query_id, ...) candidate rows
+        assert "BroadcastNestedLoopJoin" in plan
+
+    def test_codebooks_deterministic(self, spark):
+        import numpy as np
+
+        from greatex_spark.operators.ann import train_pq_codebooks
+
+        pts = np.random.default_rng(9).normal(0, 1, (300, 16))
+        assert train_pq_codebooks(pts, 4, 16) == train_pq_codebooks(pts, 4, 16)
