@@ -280,6 +280,35 @@ def main() -> None:
             timed(name, run, runs=2)
             recalls[name] = round(len(exact_pairs & got) / len(exact_pairs), 4)
 
+        # PQ ranks by L2, so its recall referent is the exact-L2 top-k
+        # (cosine overlap would conflate metric disagreement with
+        # quantization error).  Uniform-random vectors are PQ's WORST
+        # case — quantization error is in the distance itself, not just
+        # the candidate set, and uniform data has no cluster structure
+        # for sub-centroids to exploit (measured here: 0.52 at m=16,
+        # ksub=64 vs 0.26 at the oracle-grade m=8, ksub=16).  On the
+        # clustered corpus (the realistic regime — see the xover section
+        # and tests) recall is >=0.8 at m=4, ksub=16.
+        from greatex_spark.operators.ann import (  # noqa: PLC0415
+            brute_force_l2_topk,
+            pq_topk,
+        )
+
+        l2_pairs = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_l2_topk(ann_q, emb, k=5).collect()
+        }
+        pq_got: set = set()
+
+        def run_pq():
+            pq_got.update(
+                (r.query_id, r.neighbor_id)
+                for r in pq_topk(ann_q, emb, k=5, m=16, ksub=64).collect()
+            )
+
+        timed("ann_pq_64q", run_pq, runs=2)
+        recalls["ann_pq_64q"] = round(len(l2_pairs & pq_got) / len(l2_pairs), 4)
+
         # ---- ANN crossover: the regime approximate indexing exists for --
         # The fixture embeddings above are uniform-random (the worst case
         # for any space-partitioning index: every probe set is as good as

@@ -1602,3 +1602,49 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist
 FROM ranked WHERE rank <= {k}
 """
+
+
+def brute_force_l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact squared-L2 top-k — the recall referent for
+    :func:`pq_topk` (PQ ranks by L2 distance, so measuring its recall
+    against the cosine baseline would conflate metric disagreement
+    with quantization error).  Same shape as the PQ scan: broadcast
+    queries, one corpus pass, per-query row_number."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("__cv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(d2, score_decimals).alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
