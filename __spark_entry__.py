@@ -1725,6 +1725,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries_df, emb, k=5, m=8, ksub=16)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/ann.py:ivfpq_topk, Jégou et al. 2011):
+    coarse cells prune candidates to nprobe/nlist of the corpus AND the
+    scan reads PQ codes of the residual vec − centroid[cell] — the
+    production composition at 10^9+ vectors (persisted representation
+    ≈ m+4 bytes/row, candidates bounded by the probe set).  Fully
+    oracle-replayed: the DuckDB twin retrains both quantizers from the
+    same parquet via the identical hash sample."""
+    from greatex_spark.operators.ann import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return ivfpq_topk(queries_df, emb, k=5, nlist=8, nprobe=4, m=8, ksub=16)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-k (bucketed candidates, exact rerank) —
     approximate by construction, so rows-only; recall is measured against
@@ -2433,6 +2448,27 @@ def _ann_pq_oracle() -> dict[str, str]:
     return {"ann_pq_topk": pq_topk_duckdb_sql("vec_id < 8", cbs)}
 
 
+def _ann_ivfpq_oracle() -> dict[str, str]:
+    """DuckDB twin of :func:`ann_ivfpq_topk` — same retrained-quantizer
+    contract: one hash sample trains the coarse centroids AND the
+    residual PQ codebooks, both inlined as literals."""
+    import os
+
+    from greatex_spark.operators.ann import (
+        ivfpq_quantizers_from_parquet,
+        ivfpq_topk_duckdb_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        cents, cbs = ivfpq_quantizers_from_parquet(
+            f"{sf_dir}/embeddings.parquet", nlist=8, m=8, ksub=16
+        )
+    except Exception:
+        return {}
+    return {"ann_ivfpq_topk": ivfpq_topk_duckdb_sql("vec_id < 8", cents, cbs, nprobe=4)}
+
+
 def _doc_dsir_oracle() -> dict[str, str]:
     """DuckDB twin of :func:`doc_dsir_sample` — refits both hashed LMs
     from the same parquet (identical integer counts → identical
@@ -2575,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "emb_cosine_dedup": emb_cosine_dedup,
         "emb_semdedup": emb_semdedup,
         "emb_decontaminate": emb_decontaminate,
@@ -2720,6 +2757,7 @@ FROM embeddings GROUP BY label
 """,
         **_ann_ivf_oracle(),
         **_ann_pq_oracle(),
+        **_ann_ivfpq_oracle(),
         **_emb_semdedup_oracle(),
         **_doc_dsir_oracle(),
         "pipeline_pages_gold": _pipeline_pages_gold_sql(),

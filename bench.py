@@ -309,6 +309,24 @@ def main() -> None:
         timed("ann_pq_64q", run_pq, runs=2)
         recalls["ann_pq_64q"] = round(len(l2_pairs & pq_got) / len(l2_pairs), 4)
 
+        # IVF-PQ at the same code budget: coarse cells prune candidates
+        # AND residual codes spend their resolution on within-cell
+        # variance — same L2 referent as flat PQ.
+        from greatex_spark.operators.ann import ivfpq_topk  # noqa: PLC0415
+
+        ivfpq_got: set = set()
+
+        def run_ivfpq():
+            ivfpq_got.update(
+                (r.query_id, r.neighbor_id)
+                for r in ivfpq_topk(
+                    ann_q, emb, k=5, nlist=16, nprobe=8, m=16, ksub=64
+                ).collect()
+            )
+
+        timed("ann_ivfpq_64q", run_ivfpq, runs=2)
+        recalls["ann_ivfpq_64q"] = round(len(l2_pairs & ivfpq_got) / len(l2_pairs), 4)
+
         # ---- ANN crossover: the regime approximate indexing exists for --
         # The fixture embeddings above are uniform-random (the worst case
         # for any space-partitioning index: every probe set is as good as

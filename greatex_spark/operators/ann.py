@@ -1648,3 +1648,276 @@ def brute_force_l2_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file cells + product-quantized RESIDUALS
+# (Jégou et al. 2011 §III) — the composition of ivf_topk (candidate
+# pruning) and pq_topk (stored-representation compression) that a real
+# 10^9–10^12-vector deployment runs.
+# ---------------------------------------------------------------------------
+
+
+def _residuals(pts: np.ndarray, centroids: list[list[float]]) -> np.ndarray:
+    """Residual of each sample point w.r.t. its nearest coarse centroid
+    (argmin squared L2, ties to the lowest cell — the same rule as
+    :func:`train_centroids` assignment and the native ``_cell_structs``
+    argmin, so training and serving agree on the cell)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return pts - cents[np.argmin(d2, axis=1)]
+
+
+def train_ivfpq(
+    points: np.ndarray,
+    nlist: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 10,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Both quantizers of an IVF-PQ index from one training sample:
+    the coarse Lloyd's centroids, then per-subspace PQ codebooks over
+    the sample's RESIDUALS (vec − nearest coarse centroid).  Residual
+    encoding is what makes IVF-PQ beat flat PQ at equal code size: the
+    residual distribution is re-centered at 0 in every cell, so the
+    ``ksub`` sub-centroids spend their resolution on the within-cell
+    variance instead of re-describing the cell layout."""
+    pts = np.asarray(points, dtype=np.float64)
+    centroids = train_centroids(pts, nlist, max_iter)
+    codebooks = train_pq_codebooks(_residuals(pts, centroids), m, ksub, max_iter)
+    return centroids, codebooks
+
+
+def ivfpq_quantizers_from_parquet(
+    path: str,
+    nlist: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 4096,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Replay IVF-PQ training outside Spark (same contract as
+    :func:`ivf_centroids_from_parquet` / :func:`pq_codebooks_from_parquet`):
+    identical DuckDB hash sample, identical numpy training — quantizers
+    equal :func:`ivfpq_topk`'s bit-for-bit, so they embed as oracle
+    literals."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {vec_col} FROM read_parquet('{path}') "
+        f"ORDER BY ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT, "
+        f"{id_col} LIMIT {train_sample}"
+    ).fetchall()
+    con.close()
+    pts = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return train_ivfpq(pts, nlist, m, ksub, max_iter)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+    train_sample: int = 4096,
+    max_iter: int = 10,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011): coarse cells prune
+    candidates (each query scans only its ``nprobe`` nearest cells, as
+    :func:`ivf_topk`), and the scan itself reads PQ codes of the
+    RESIDUAL vec − centroid[cell] instead of raw floats (as
+    :func:`pq_topk`).  Rank key = asymmetric squared L2 between the
+    exact query and the reconstruction centroid[cell] + dequantized
+    residual, smallest first.
+
+    Scale shape: both quantizers train driver-side on the bounded hash
+    sample; the corpus pass is ONE projection producing (cell, recon)
+    — at 10^12 rows the PERSISTED representation is (cell:int,
+    code:array<m tinyint>) ≈ m+4 bytes/row vs 4·dim raw (16×+ smaller
+    scan IO at dim 64), and candidate volume per query is
+    ~nprobe/nlist of the corpus; the tiny exploded query side is
+    broadcast into the cell join, so the corpus never shuffles — the
+    only exchange is the per-query row_number over candidate rows.
+
+    Approximate on two axes (cell pruning + quantization error):
+    measure recall against :func:`brute_force_l2_topk`.  Fully
+    oracle-replayable — :func:`ivfpq_topk_duckdb_sql` retrains
+    identical quantizers and replays every fold in the same IEEE
+    order."""
+    if centroids is None or codebooks is None:
+        rows = _hash_sample(corpus, id_col, vec_col, train_sample).collect()
+        pts = _vec_matrix([r[1] for r in rows])
+        tc, tcb = train_ivfpq(pts, nlist, m, ksub, max_iter)
+        centroids = centroids if centroids is not None else tc
+        codebooks = codebooks if codebooks is not None else tcb
+    from greatex_spark.functions.exprs import let
+
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cb_lit = F.lit([[[float(x) for x in c] for c in cb] for cb in codebooks])
+    n_sub = len(codebooks)
+
+    def dequant(code: Column) -> Column:
+        return F.flatten(
+            F.array(
+                *[
+                    F.element_at(
+                        F.element_at(cb_lit, j + 1), F.element_at(code, j + 1) + 1
+                    )
+                    for j in range(n_sub)
+                ]
+            )
+        )
+
+    # ONE corpus projection: cell, then centroid lookup, then residual,
+    # then codes, then reconstruction — each stage let-bound (HOFs are
+    # interpreted, no CSE: unbound, the m-argmin encode would inline
+    # into every dequant reference and the centroid argmin into every
+    # residual element).
+    def corpus_struct(cv: Column) -> Column:
+        return let(
+            F.element_at(_cell_structs(cv, centroids), 1)["i"],
+            lambda cell: let(
+                F.element_at(cent_lit, (cell + 1).cast("int")),
+                lambda cent_of: let(
+                    F.zip_with(cv, cent_of, lambda a, b: a.cast("double") - b),
+                    lambda resid: let(
+                        pq_encode(resid, codebooks),
+                        lambda code: F.struct(
+                            cell.alias("cell"),
+                            F.zip_with(
+                                cent_of, dequant(code), lambda a, b: a + b
+                            ).alias("recon"),
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        .select("neighbor_id", corpus_struct(F.col("__cv")).alias("__s"))
+        .select(
+            "neighbor_id",
+            F.col("__s")["cell"].alias("__cell"),
+            F.col("__s")["recon"].alias("__recon"),
+        )
+    )
+    probe_cells = F.slice(
+        F.transform(_cell_structs(F.col("__qv"), centroids), lambda s: s["i"]),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).select("query_id", "__qv", F.explode(probe_cells).alias("__cell"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("__recon"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        assigned.join(F.broadcast(q), on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(d2, score_decimals).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
+def ivfpq_topk_duckdb_sql(
+    query_filter: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> str:
+    """Oracle for :func:`ivfpq_topk`: the same literal quantizers, the
+    same sorted-struct argmins (coarse cell, then per-subspace code
+    over the residual), reconstruction = one addition per element in
+    the same order, one sequential IEEE fold for the asymmetric
+    distance."""
+    nlist = len(centroids)
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    cell_sorted_c = _cell_structs_sql(f"c.{vec_col}", dim, nlist, "cs")
+    cell_sorted_q = _cell_structs_sql(vec_col, dim, nlist, "cs")
+    sub_diff = f"(rv[(j - 1) * {dsub} + i] - cb[j][t][i])"
+    sub_d2 = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), i -> {sub_diff} * {sub_diff}), "
+        f"(a, b) -> a + b)"
+    )
+    argmin = (
+        f"list_sort(list_transform(range(1, {ksub + 1}), "
+        f"t -> {{'d': {sub_d2}, 'i': t - 1}}))[1].i"
+    )
+    qdiff = "(CAST(pr.qemb[i] AS DOUBLE) - r.recon[i])"
+    qd2 = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> {qdiff} * {qdiff}), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+WITH cents AS (SELECT {_centroids_sql(centroids)} AS cs),
+cbs AS (SELECT {_codebooks_sql(codebooks)} AS cb),
+assigned AS (
+  SELECT c.{id_col} AS neighbor_id, c.{vec_col} AS emb,
+         ({cell_sorted_c})[1].i AS cell
+  FROM {table} c, cents),
+resid AS (
+  SELECT neighbor_id, cell,
+         list_transform(range(1, {dim + 1}),
+                        i -> CAST(emb[i] AS DOUBLE) - cs[cell + 1][i]) AS rv
+  FROM assigned, cents),
+codes AS (
+  SELECT neighbor_id, cell,
+         list_transform(range(1, {m + 1}), j -> ({argmin})) AS code
+  FROM resid, cbs),
+recon AS (
+  SELECT neighbor_id, cell,
+         list_transform(range(1, {dim + 1}), i -> cs[cell + 1][i] + fl[i]) AS recon
+  FROM (SELECT neighbor_id, cell,
+               flatten(list_transform(range(1, {m + 1}), j -> cb[j][code[j] + 1])) AS fl
+        FROM codes, cbs), cents),
+probes AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qemb,
+         unnest(list_transform(({cell_sorted_q})[1:{nprobe}], s -> s.i)) AS cell
+  FROM {table}, cents WHERE {query_filter}),
+scored AS (
+  SELECT pr.query_id, r.neighbor_id, round({qd2}, 6) AS dist
+  FROM probes pr JOIN recon r ON pr.cell = r.cell AND r.neighbor_id != pr.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC)
+           AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist
+FROM ranked WHERE rank <= {k}
+"""
