@@ -862,6 +862,60 @@ def _duckdb_str(s: str) -> str:
     return "(" + " || ".join(parts or ["''"]) + ")"
 
 
+def _moji_suffix() -> str:
+    """Deterministic mojibake sample: clean text pushed through the
+    exact corruption the operator repairs (utf-8 bytes read back as
+    cp1252), exercising 2- and 3-byte sequences on every row."""
+    clean = (
+        " ‘quoted’ — café … 100€ §2 "
+        "naïve Über™"
+    )
+    return clean.encode("utf-8").decode("cp1252")
+
+
+_MOJI_SUFFIX = _moji_suffix()
+
+
+def doc_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (functions/normalize.py:fix_mojibake — ftfy's
+    core case, CP1252-decoded UTF-8): a fixed longest-first chain of
+    literal substring replaces, JVM-codegen'd, byte-identical across
+    Spark / DuckDB / CPython.  A planted corrupted suffix exercises
+    the chain on every row; chars_repaired is the per-row length
+    delta the repair removed."""
+    from greatex_spark.functions.normalize import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    return (
+        docs.select("doc_id", dirty.alias("__dirty"))
+        .select(
+            "doc_id",
+            F.length("__dirty").alias("__dl"),
+            fix_mojibake(F.col("__dirty")).alias("text_fixed"),
+        )
+        .select(
+            "doc_id",
+            "text_fixed",
+            (F.col("__dl") - F.length("text_fixed")).cast("long").alias(
+                "chars_repaired"
+            ),
+        )
+    )
+
+
+def _doc_fix_mojibake_sql() -> str:
+    from greatex_spark.functions.normalize import fix_mojibake_duckdb_sql
+
+    dirty = f"(text || {_duckdb_str(_MOJI_SUFFIX)})"
+    fixed = fix_mojibake_duckdb_sql(dirty)
+    return f"""
+SELECT doc_id, {fixed} AS text_fixed,
+       length({dirty}) - length({fixed}) AS chars_repaired
+FROM documents
+"""
+
+
 def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/text normalization (functions/normalize.py): newline
     canonicalization + control strip + paragraph collapse natively,
@@ -2580,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": doc_pii_scrub,
         "doc_cc_scrub": doc_cc_scrub,
         "doc_normalize": doc_normalize,
+        "doc_fix_mojibake": doc_fix_mojibake,
         "doc_fingerprint": doc_fingerprint,
         "doc_perplexity": doc_perplexity,
         "doc_dup_ngrams": doc_dup_ngrams,
@@ -2703,6 +2758,7 @@ FROM customer WHERE c_acctbal IS NOT NULL
         "doc_pii_scrub": f"SELECT doc_id, {pii_scrubbed} AS text_scrubbed FROM documents",
         "doc_cc_scrub": _doc_cc_scrub_sql(),
         "doc_normalize": _doc_normalize_sql(),
+        "doc_fix_mojibake": _doc_fix_mojibake_sql(),
         "doc_fingerprint": (
             "SELECT doc_id, "
             + rolling_fingerprint64_duckdb_sql("text")

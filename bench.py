@@ -309,18 +309,23 @@ def main() -> None:
         timed("ann_pq_64q", run_pq, runs=2)
         recalls["ann_pq_64q"] = round(len(l2_pairs & pq_got) / len(l2_pairs), 4)
 
-        # IVF-PQ at the same code budget: coarse cells prune candidates
-        # AND residual codes spend their resolution on within-cell
-        # variance — same L2 referent as flat PQ.
-        from greatex_spark.operators.ann import ivfpq_topk  # noqa: PLC0415
+        # IVF-PQ (probe-scan ADC + exact refine — the production path;
+        # the native spec twin is the oracle-grade ann_ivfpq_topk driver
+        # query): coarse cells prune candidates, residual codes spend
+        # their resolution on within-cell variance, and the R-deep exact
+        # re-rank recovers the neighbor margins quantization can't rank.
+        # Same L2 referent as flat PQ.
+        from greatex_spark.operators.ann import (  # noqa: PLC0415
+            ivfpq_topk_probe_arrow,
+        )
 
         ivfpq_got: set = set()
 
         def run_ivfpq():
             ivfpq_got.update(
                 (r.query_id, r.neighbor_id)
-                for r in ivfpq_topk(
-                    ann_q, emb, k=5, nlist=16, nprobe=8, m=16, ksub=64
+                for r in ivfpq_topk_probe_arrow(
+                    ann_q, emb, k=5, nlist=16, nprobe=8, m=16, ksub=64, refine=256
                 ).collect()
             )
 
@@ -344,13 +349,17 @@ def main() -> None:
             _hash_sample,
             _projection_matrix,
             _query_probe_map,
+            _residuals,
             _sign_buckets_np,
             _vec_matrix,
             assign_cells_arrow,
+            brute_force_l2_topk_arrow,
             bucket_col_arrow,
             ivf_topk_arrow,
+            ivfpq_topk_probe_arrow,
             lsh_topk_probe_arrow,
             train_centroids,
+            train_pq_codebooks,
         )
 
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -373,9 +382,34 @@ def main() -> None:
             ),
             xcl, 10,
         )
+        # IVF-PQ shares the IVF coarse quantizer; its residual codebooks
+        # train on the same hash sample (m=16 × 8-bit codes = 16 bytes
+        # stored per vector vs 256 raw — the scan-IO answer at 100 TB);
+        # refine=256 exact re-ranks each query's ADC shortlist.  Its
+        # recall referent is exact L2 (PQ's metric), benched alongside.
+        xpq_m, xpq_ksub, xpq_refine = 16, 256, 256
+        xpq_cbs = train_pq_codebooks(
+            _residuals(
+                _vec_matrix(
+                    [
+                        r[1]
+                        for r in _hash_sample(
+                            xemb, "vec_id", "embedding", 8192
+                        ).collect()
+                    ]
+                ),
+                cents,
+            ),
+            xpq_m,
+            xpq_ksub,
+        )
         xsets: dict[str, set] = {}
         for name, fn in (
             ("xover_exact_arrow", lambda: brute_force_topk_arrow(xqdf, xemb, k=5)),
+            (
+                "xover_exact_l2_arrow",
+                lambda: brute_force_l2_topk_arrow(xqdf, xemb, k=5),
+            ),
             (
                 "xover_ivf_arrow",
                 lambda: ivf_topk_arrow(
@@ -386,6 +420,13 @@ def main() -> None:
                 "xover_lsh_arrow",
                 lambda: lsh_topk_probe_arrow(
                     xqdf, xemb, dim=xdim, k=5, num_bits=xbits, multiprobe=xmp
+                ),
+            ),
+            (
+                "xover_ivfpq_arrow",
+                lambda: ivfpq_topk_probe_arrow(
+                    xqdf, xemb, k=5, nlist=xcl, nprobe=4, m=xpq_m, ksub=xpq_ksub,
+                    centroids=cents, codebooks=xpq_cbs, refine=xpq_refine,
                 ),
             ),
         ):
@@ -401,6 +442,10 @@ def main() -> None:
             n: round(len(x_exact & xsets[n]) / len(x_exact), 4)
             for n in ("xover_ivf_arrow", "xover_lsh_arrow")
         }
+        x_exact_l2 = xsets["xover_exact_l2_arrow"]
+        xover_recall["xover_ivfpq_arrow"] = round(
+            len(x_exact_l2 & xsets["xover_ivfpq_arrow"]) / len(x_exact_l2), 4
+        )
         # exact candidate fractions (instrumentation pass, not timed)
         qm = _vec_matrix([r.embedding for r in xqdf.collect()])
         _, cell_q = _query_probe_map(qm, np.array(cents), 4)
@@ -438,22 +483,39 @@ def main() -> None:
             "queries": n_queries,
             "k": 5,
             "exact_sec": timings["xover_exact_arrow"],
+            "exact_l2_sec": timings["xover_exact_l2_arrow"],
             "ivf_sec": timings["xover_ivf_arrow"],
             "lsh_sec": timings["xover_lsh_arrow"],
+            "ivfpq_sec": timings["xover_ivfpq_arrow"],
             "speedup_ivf": round(
                 timings["xover_exact_arrow"] / timings["xover_ivf_arrow"], 2
             ),
             "speedup_lsh": round(
                 timings["xover_exact_arrow"] / timings["xover_lsh_arrow"], 2
             ),
+            "speedup_ivfpq": round(
+                timings["xover_exact_l2_arrow"] / timings["xover_ivfpq_arrow"], 2
+            ),
             "recall": xover_recall,
             "candidate_fraction": {
                 "xover_ivf_arrow": round(frac_ivf, 4),
                 "xover_lsh_arrow": round(frac_lsh, 4),
+                # ivfpq probes the same cells as ivf; refine exact-reads
+                # only R of them per query
+                "xover_ivfpq_arrow": round(frac_ivf, 4),
             },
             "config": {
                 "ivf": {"nlist": xcl, "nprobe": 4},
                 "lsh": {"num_bits": xbits, "multiprobe": xmp},
+                "ivfpq": {
+                    "nlist": xcl,
+                    "nprobe": 4,
+                    "m": xpq_m,
+                    "ksub": xpq_ksub,
+                    "refine": xpq_refine,
+                    "code_bytes": xpq_m,
+                    "raw_bytes": 4 * xdim,
+                },
             },
         }
         xemb.unpersist()

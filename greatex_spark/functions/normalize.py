@@ -90,3 +90,74 @@ def normalize_text_duckdb_sql(expr: str) -> str:
     out = f"regexp_replace({out}, '{CONTROL_CLASS}', '', 'g')"
     out = f"regexp_replace({out}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
     return f"nfc_normalize({out})"
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy's core case): UTF-8 bytes decoded as
+# Windows-1252 — "\u00e2\u20ac\u2122" for \u2019, "\u00c3\u00a9" for \u00e9 — the single
+# most common encoding corruption in crawled web text.  The fix is a
+# DETERMINISTIC literal replace chain: for every target character we
+# derive its mojibake form as utf8(char) decoded as cp1252, apply
+# longest-first (3-byte sequences before 2-byte, so shared prefixes
+# like "\u00e2\u20ac" never fire early), and replace with the real
+# character.  Plain substring replaces (no regex) — JVM-codegen'd in
+# Spark, byte-identical in DuckDB's replace() and CPython str.replace,
+# so the repair stays byte-stable across all three engines.
+# ---------------------------------------------------------------------------
+
+# curated target set: the general-punctuation/currency/trademark block
+# cp1252 smart-quote corruption produces, plus the full decodable
+# Latin-1 supplement (accented letters, nbsp, section marks).
+_MOJIBAKE_TARGETS = (
+    "\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u2026\u20ac\u2122\u2022"
+    "\u2020\u2021\u2030\u2039\u203a\u02c6\u02dc"
+) + "".join(chr(x) for x in range(0xA0, 0x100))
+
+
+def _mojibake_pairs() -> list[tuple[str, str]]:
+    pairs = []
+    for ch in _MOJIBAKE_TARGETS:
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined; targets
+            # whose utf-8 bytes hit them cannot appear as cp1252 text
+            continue
+        if len(moji) < 2 or moji == ch:
+            continue
+        pairs.append((moji, ch))
+    # longest first so 3-char corruptions win over their 2-char
+    # prefixes; lexicographic within a length for determinism
+    pairs.sort(key=lambda p: (-len(p[0]), p[0]))
+    return pairs
+
+
+MOJIBAKE_PAIRS: list[tuple[str, str]] = _mojibake_pairs()
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair CP1252-decoded UTF-8 (NULL stays NULL) — one projection,
+    a fixed chain of literal substring replaces, zero regex, zero
+    Python on the hot path."""
+    c = F.col(col) if isinstance(col, str) else col
+    for moji, ch in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(moji), F.lit(ch))
+    return c
+
+
+def fix_mojibake_py(text: str | None) -> str | None:
+    """CPython reference for the byte-equality pytest."""
+    if text is None:
+        return None
+    for moji, ch in MOJIBAKE_PAIRS:
+        text = text.replace(moji, ch)
+    return text
+
+
+def fix_mojibake_duckdb_sql(expr: str) -> str:
+    """DuckDB twin — the same chain through ``replace()`` (plain
+    substring semantics in all three engines)."""
+    out = expr
+    for moji, ch in MOJIBAKE_PAIRS:
+        out = f"replace({out}, '{moji}', '{ch}')"
+    return out

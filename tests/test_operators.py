@@ -727,3 +727,94 @@ class TestIVFPQTopk:
 
         pts = np.random.default_rng(9).normal(0, 1, (300, 16))
         assert train_ivfpq(pts, 8, 4, 16) == train_ivfpq(pts, 8, 4, 16)
+
+
+class TestIVFPQProbeArrow:
+    def _clustered_df(self, spark, n=4000, dim=16, ncl=16, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(0, 5, (ncl, dim))
+        rows = [
+            (i, [float(x) for x in centers[i % ncl] + rng.normal(0, 0.05, dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_adc_matches_native_spec_exactly(self, spark):
+        """Pure-ADC probe-scan returns the identical (query, neighbor,
+        rank) set as the native ivfpq_topk at the same quantizers —
+        including the tie handling PQ makes routine (shared codes ⇒
+        identical distances ⇒ lowest-id wins)."""
+        from greatex_spark.operators.ann import (
+            _hash_sample,
+            _vec_matrix,
+            ivfpq_topk,
+            ivfpq_topk_probe_arrow,
+            train_ivfpq,
+        )
+
+        df = self._clustered_df(spark)
+        rows = _hash_sample(df, "vec_id", "embedding", 1024).collect()
+        cents, cbs = train_ivfpq(
+            _vec_matrix([r[1] for r in rows]), nlist=16, m=4, ksub=16
+        )
+        kw = dict(
+            k=5, nlist=16, nprobe=4, m=4, ksub=16, centroids=cents, codebooks=cbs
+        )
+        q = df.where("vec_id % 200 = 0")
+        nat = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivfpq_topk(q, df, **kw).collect()
+        }
+        arw = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivfpq_topk_probe_arrow(q, df, **kw).collect()
+        }
+        assert nat == arw and len(nat) == 100
+
+    def test_refine_recovers_recall(self, spark):
+        """Quantization can't rank below-noise margins; the exact
+        refine step must lift recall to ~1.0 where pure ADC fails."""
+        from greatex_spark.operators.ann import (
+            brute_force_l2_topk_arrow,
+            ivfpq_topk_probe_arrow,
+        )
+
+        df = self._clustered_df(spark)
+        q = df.where("vec_id % 100 = 0")
+        ex = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_l2_topk_arrow(q, df, k=5).collect()
+        }
+        kw = dict(k=5, nlist=16, nprobe=4, m=4, ksub=16)
+        adc = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk_probe_arrow(q, df, **kw).collect()
+        }
+        ref = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk_probe_arrow(q, df, refine=64, **kw).collect()
+        }
+        r_adc = len(ex & adc) / len(ex)
+        r_ref = len(ex & ref) / len(ex)
+        assert r_ref >= 0.95, (r_adc, r_ref)
+        assert r_ref > r_adc, (r_adc, r_ref)
+
+    def test_l2_arrow_matches_spec(self, spark):
+        from greatex_spark.operators.ann import (
+            brute_force_l2_topk,
+            brute_force_l2_topk_arrow,
+        )
+
+        df = self._clustered_df(spark, n=500)
+        q = df.where("vec_id < 4")
+        spec = {
+            (r.query_id, r.neighbor_id, r.rank, r.dist)
+            for r in brute_force_l2_topk(q, df, k=5).collect()
+        }
+        arw = {
+            (r.query_id, r.neighbor_id, r.rank, r.dist)
+            for r in brute_force_l2_topk_arrow(q, df, k=5).collect()
+        }
+        assert spec == arw and len(spec) == 20

@@ -225,3 +225,55 @@ class TestCorpusDomainReport:
         # one hash aggregation keyed on domain: no window, no sort
         assert "Window" not in plan
         assert "Sort" not in plan
+
+
+class TestFixMojibake:
+    def _samples(self):
+        # corrupt by the exact physical process the operator repairs:
+        # utf-8 bytes of clean text read back as cp1252
+        cleans = [
+            "plain ascii unchanged",
+            "‘quoted’ — dash … ellipsis",
+            "café naïve ñoño Über",
+            "100€ §2 ™ • bullet",
+            "",
+        ]
+        out = [(c.encode("utf-8").decode("cp1252"), c) for c in cleans]
+        out.append((None, None))
+        return out
+
+    def test_three_way_byte_equality(self, spark):
+        from greatex_spark.functions.normalize import (
+            fix_mojibake,
+            fix_mojibake_duckdb_sql,
+            fix_mojibake_py,
+        )
+
+        samples = self._samples()
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(samples)], "id int, text string"
+        )
+        got_spark = {
+            r.id: r.s
+            for r in df.select("id", fix_mojibake("text").alias("s")).collect()
+        }
+        con = duckdb.connect()
+        sql = fix_mojibake_duckdb_sql("text")
+        for i, (dirty, clean) in enumerate(samples):
+            want = fix_mojibake_py(dirty)
+            assert want == clean, (i, dirty)  # the repair actually repairs
+            got_duck = con.execute(
+                f"SELECT {sql} FROM (SELECT ?::VARCHAR AS text)", [dirty]
+            ).fetchone()[0]
+            assert got_spark[i] == want, (i, dirty)
+            assert got_duck == want, (i, dirty)
+
+    def test_pair_table_shape(self):
+        from greatex_spark.functions.normalize import MOJIBAKE_PAIRS
+
+        # longest-first ordering (3-char corruptions before their
+        # 2-char prefixes), injective, no self-maps
+        lens = [len(m) for m, _ in MOJIBAKE_PAIRS]
+        assert lens == sorted(lens, reverse=True)
+        assert len({m for m, _ in MOJIBAKE_PAIRS}) == len(MOJIBAKE_PAIRS)
+        assert all(m != ch for m, ch in MOJIBAKE_PAIRS)
