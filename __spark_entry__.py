@@ -229,6 +229,117 @@ def _events_session_funnel_sql() -> str:
     return session_transitions_duckdb_sql("events", gap_seconds=1800)
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    user's most recent click at-or-before it, within a 7-day
+    tolerance — the union-merge formulation (one key shuffle + one
+    running window, no join node; a theta join here would plan as
+    BroadcastNestedLoop).  Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from greatex_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.where(F.col("event_type") == "click"),
+        on="user_id",
+        right_payload=("event_id",),
+        prefix="click_",
+        tolerance_seconds=7 * 86400,
+    )
+    wait = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("click_ts").cast("timestamp")
+    )
+    # NULL timestamps (unmatched purchases) are NaT in the compare
+    # harness and NaT != NaT under its dtype-strict rule — project the
+    # match as (id, wait_us) instead; NULL longs normalize fine.
+    return out.select(
+        "event_id", "user_id", "ts", "click_event_id", wait.cast("long").alias("wait_us")
+    )
+
+
+def _events_asof_attribution_sql() -> str:
+    from greatex_spark.operators.asof import asof_join_duckdb_sql
+
+    inner = asof_join_duckdb_sql(
+        "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')",
+        "(SELECT * FROM events WHERE event_type = 'click')",
+        on="user_id",
+        left_cols=("event_id", "user_id", "ts"),
+        right_payload=("event_id",),
+        prefix="click_",
+        tolerance_seconds=7 * 86400,
+    )
+    return (
+        f"SELECT event_id, user_id, ts, click_event_id, "
+        f"CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS wait_us "
+        f"FROM ({inner})"
+    )
+
+
+def events_error_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): traffic inside the hour
+    after each error event — intervals explode to covered bins, points
+    bin once, broadcast equi-join on the bin + exact containment
+    filter (each pair meets in exactly one bin, so no dedup pass);
+    DECIMAL-accumulated value sum per the cross-engine contract."""
+    from greatex_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    pts = ev.select("event_id", "ts", "user_id", "value")
+    return (
+        range_join(pts, iv, bin_seconds=3600)
+        .where(F.col("event_id") != F.col("iv_id"))
+        .groupBy("iv_id", "start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def _events_error_window_stats_sql() -> str:
+    from greatex_spark.operators.rangejoin import range_join_duckdb_sql
+
+    return range_join_duckdb_sql(
+        "(SELECT event_id, ts, user_id, value FROM events)",
+        "(SELECT event_id AS iv_id, ts AS start, ts + INTERVAL 1 HOUR AS \"end\""
+        " FROM events WHERE event_type = 'error')",
+        select=(
+            "__i.iv_id, __i.start, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(DISTINCT __p.user_id) AS BIGINT) AS n_users, "
+            "CAST(sum(CAST(__p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+        ),
+        where="__p.event_id != __i.iv_id",
+        group_by="__i.iv_id, __i.start",
+    )
+
+
+def doc_ngram_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-trigram sketch per source (operators/sketch.py):
+    COUNT(DISTINCT) without the distinct shuffle — 256 integer
+    registers per group, md5-derived bits, integer harmonic sum, so
+    the ESTIMATE itself hash-matches the DuckDB replay."""
+    from greatex_spark.operators.sketch import ngram_hll
+
+    return ngram_hll(_t(spark, sf_dir, "documents"))
+
+
+def _doc_ngram_hll_sql() -> str:
+    from greatex_spark.operators.sketch import ngram_hll_duckdb_sql
+
+    return ngram_hll_duckdb_sql()
+
+
 # ---------------------------------------------------------------------------
 # expectation gates (the engine's real "queries")
 
@@ -2616,6 +2727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": events_top_users,
         "events_sessionize": events_sessionize,
         "events_session_funnel": events_session_funnel,
+        "events_asof_attribution": events_asof_attribution,
+        "events_error_window_stats": events_error_window_stats,
+        "doc_ngram_hll": doc_ngram_hll,
         "events_user_distinct_types": events_user_distinct_types,
         "elt_clean_project": elt_clean_project,
         "suite_orders_schema_gate": suite_orders_schema_gate,
@@ -2733,6 +2847,9 @@ FROM ranked WHERE rnk <= 3
 """,
         "events_sessionize": _events_sessionize_sql(),
         "events_session_funnel": _events_session_funnel_sql(),
+        "events_asof_attribution": _events_asof_attribution_sql(),
+        "events_error_window_stats": _events_error_window_stats_sql(),
+        "doc_ngram_hll": _doc_ngram_hll_sql(),
         "events_user_distinct_types": """
 SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
 FROM events GROUP BY user_id

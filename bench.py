@@ -206,6 +206,14 @@ def main() -> None:
               runs=2)
         timed("doc_ngram_lm",
               lambda: noop(qs["doc_ngram_lm"](spark, sf_dir)), runs=2)
+
+        # ---- relational/sketch operators (round 5) ------------------------
+        timed("events_asof_attribution",
+              lambda: noop(qs["events_asof_attribution"](spark, sf_dir)), runs=2)
+        timed("events_error_window_stats",
+              lambda: noop(qs["events_error_window_stats"](spark, sf_dir)), runs=2)
+        timed("doc_ngram_hll",
+              lambda: qs["doc_ngram_hll"](spark, sf_dir).collect(), runs=2)
         # substring dedup benches the xxhash64 hot path (the md5 spec
         # family exists for the DuckDB twin, not for production scans)
         from greatex_spark.operators.substringdedup import (  # noqa: PLC0415
