@@ -324,6 +324,36 @@ def _events_error_window_stats_sql() -> str:
     )
 
 
+def doc_bigram_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/cms.py): corpus
+    bigrams with estimated count >= 40 — frequency estimation without
+    the vocabulary-wide GROUP BY (the sketch is one bounded d×w agg;
+    only the survivor superset reaches the distinct).  CMS never
+    underestimates, so this is a guaranteed superset of the true
+    >=40 set; the integer estimates hash-match the DuckDB replay."""
+    from greatex_spark.functions.textstats import normalize_for_fingerprint
+    from greatex_spark.operators.cms import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(normalize_for_fingerprint(F.col("text")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, 2), " "))
+    items = docs.select(F.explode(grams).alias("bigram"))
+    return cms_heavy_hitters(items, "bigram", threshold=40)
+
+
+def _doc_bigram_cms_heavy_sql() -> str:
+    from greatex_spark.operators.cms import cms_heavy_hitters_duckdb_sql
+    from greatex_spark.operators.dedup import _norm_sql
+
+    items = (
+        "SELECT unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 2), "
+        "i -> array_to_string(ws[i : i + 1], ' '))) AS bigram "
+        f"FROM (SELECT string_split({_norm_sql('text')}, ' ') AS ws FROM documents)"
+    )
+    return cms_heavy_hitters_duckdb_sql(items, "bigram", threshold=40)
+
+
 def doc_ngram_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-trigram sketch per source (operators/sketch.py):
     COUNT(DISTINCT) without the distinct shuffle — 256 integer
@@ -2730,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": events_asof_attribution,
         "events_error_window_stats": events_error_window_stats,
         "doc_ngram_hll": doc_ngram_hll,
+        "doc_bigram_cms_heavy": doc_bigram_cms_heavy,
         "events_user_distinct_types": events_user_distinct_types,
         "elt_clean_project": elt_clean_project,
         "suite_orders_schema_gate": suite_orders_schema_gate,
@@ -2850,6 +2881,7 @@ FROM ranked WHERE rnk <= 3
         "events_asof_attribution": _events_asof_attribution_sql(),
         "events_error_window_stats": _events_error_window_stats_sql(),
         "doc_ngram_hll": _doc_ngram_hll_sql(),
+        "doc_bigram_cms_heavy": _doc_bigram_cms_heavy_sql(),
         "events_user_distinct_types": """
 SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
 FROM events GROUP BY user_id

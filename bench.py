@@ -214,6 +214,8 @@ def main() -> None:
               lambda: noop(qs["events_error_window_stats"](spark, sf_dir)), runs=2)
         timed("doc_ngram_hll",
               lambda: qs["doc_ngram_hll"](spark, sf_dir).collect(), runs=2)
+        timed("doc_bigram_cms_heavy",
+              lambda: qs["doc_bigram_cms_heavy"](spark, sf_dir).collect(), runs=2)
         # substring dedup benches the xxhash64 hot path (the md5 spec
         # family exists for the DuckDB twin, not for production scans)
         from greatex_spark.operators.substringdedup import (  # noqa: PLC0415
@@ -316,6 +318,27 @@ def main() -> None:
 
         timed("ann_pq_64q", run_pq, runs=2)
         recalls["ann_pq_64q"] = round(len(l2_pairs & pq_got) / len(l2_pairs), 4)
+
+        # flat-PQ production path: PQ IS IVF-PQ with one cell — the
+        # probe-scan ADC kernel + exact refine, same L2 referent.  The
+        # native pq_topk above stays as the oracle-grade spec path
+        # (ann_pq_topk in queries()), like ann_lsh_join_64q does for LSH.
+        from greatex_spark.operators.ann import (  # noqa: PLC0415
+            ivfpq_topk_probe_arrow as _ivfpq_probe,
+        )
+
+        pqs_got: set = set()
+
+        def run_pq_scan():
+            pqs_got.update(
+                (r.query_id, r.neighbor_id)
+                for r in _ivfpq_probe(
+                    ann_q, emb, k=5, nlist=1, nprobe=1, m=16, ksub=64, refine=256
+                ).collect()
+            )
+
+        timed("ann_pq_scan_64q", run_pq_scan, runs=2)
+        recalls["ann_pq_scan_64q"] = round(len(l2_pairs & pqs_got) / len(l2_pairs), 4)
 
         # IVF-PQ (probe-scan ADC + exact refine — the production path;
         # the native spec twin is the oracle-grade ann_ivfpq_topk driver

@@ -2030,8 +2030,17 @@ def ivfpq_topk_probe_arrow(
     superset of the batch-level ADC top-R, so recall is ≥ the
     global-shortlist semantics.
 
-    Driver memory: LUTs are ``queries × nprobe × m × ksub`` doubles
-    (4096 q × 8 × 16 × 64 ≈ 33 MB) — broadcast once, bounded."""
+    Closure size is the scale guard: the full LUT tensor is
+    ``queries × nprobe × m × ksub`` doubles — 540 MB at the crossover
+    bench config (4k q × 4 × 16 × 256), which serialized into every
+    task and made the first cut SLOWER than exact scan.  The driver
+    therefore ships only the small factors (query matrix, probe map,
+    per-probe residual subvectors, codebooks — ~10 MB at the same
+    config) and each worker materializes a cell's LUT rows on demand,
+    with the IDENTICAL arithmetic expression, only for the queries
+    probing the cells present in its batch (~``m·ksub·dsub`` flops per
+    probing query — ~0.1 s per partition at bench config, measured
+    80 s → 2.3 s end-to-end)."""
     import pandas as pd
 
     if centroids is None or codebooks is None:
@@ -2052,10 +2061,10 @@ def ivfpq_topk_probe_arrow(
     # native sorted-struct rule)
     d2q = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probe = np.argsort(d2q, kind="stable", axis=1)[:, : min(nprobe, len(cents))]
-    # LUTs per (query, probed cell): residual geometry baked in
+    # per-probe residual subvectors (nq × nprobe × m × dsub — small);
+    # LUT rows materialize per cell ON THE WORKER (see docstring)
     res = qm[:, None, :] - cents[probe]  # (nq, nprobe, dim)
     res_sub = res.reshape(len(qm), probe.shape[1], n_sub, dsub)
-    luts = ((res_sub[:, :, :, None, :] - cbs[None, None, :, :, :]) ** 2).sum(-1)
     # cell -> (query row indices, probe slot indices)
     cell_q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     acc: dict[int, list[tuple[int, int]]] = {}
@@ -2103,7 +2112,10 @@ def ivfpq_topk_probe_arrow(
                 member_rows = member_rows[perm]
                 sub_ids = sub_ids[perm]
                 sub_codes = sub_codes[perm]
-                lut = luts[qidx, pidx]  # (nq_p, m, ksub)
+                # cell LUT on demand — the same expression the driver
+                # tensor held, computed only for this cell's probers
+                rs_q = res_sub[qidx, pidx]  # (nq_p, m, dsub)
+                lut = ((rs_q[:, :, None, :] - cbs[None, :, :, :]) ** 2).sum(-1)
                 d = np.zeros((len(qidx), len(sub_ids)))
                 for j in range(n_sub):
                     d += lut[:, j, :][:, sub_codes[:, j]]

@@ -172,6 +172,72 @@ class TestRangeJoin:
         assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
 
 
+class TestCmsHeavyHitters:
+    def _items(self, spark):
+        # 3 heavy items (>=50) in a sea of 2000 singletons
+        heavy = [(f"hot-{i}",) for i in range(3) for _ in range(50 + i)]
+        light = [(f"cold-{i}",) for i in range(2000)]
+        return spark.createDataFrame(heavy + light, "item string")
+
+    def test_superset_guarantee_and_exactness(self, spark):
+        """CMS never underestimates: every true >=T item must appear,
+        and with w >> vocab the estimates are exactly the true counts
+        (wide sketch via the Arrow hot path — the literal-array spec
+        plan pays Catalyst cost per element at w=64k)."""
+        from greatex_spark.operators.cms import cms_heavy_hitters_arrow
+
+        got = {
+            r.item: r.est_count
+            for r in cms_heavy_hitters_arrow(
+                self._items(spark), "item", threshold=50, w=65536
+            ).collect()
+        }
+        assert {"hot-0", "hot-1", "hot-2"} <= set(got)
+        for i in range(3):
+            assert got[f"hot-{i}"] >= 50 + i  # overestimate-only
+
+    def test_arrow_path_matches_spec_exactly(self, spark):
+        from greatex_spark.operators.cms import (
+            cms_heavy_hitters,
+            cms_heavy_hitters_arrow,
+        )
+
+        items = self._items(spark)
+        spec = {
+            (r.item, r.est_count)
+            for r in cms_heavy_hitters(items, "item", threshold=50).collect()
+        }
+        arrow = {
+            (r.item, r.est_count)
+            for r in cms_heavy_hitters_arrow(items, "item", threshold=50).collect()
+        }
+        assert spec == arrow and len(spec) >= 3
+
+    def test_matches_duckdb_bit_for_bit(self, spark, sf_dir):
+        import duckdb
+
+        from greatex_spark.operators.cms import (
+            cms_heavy_hitters,
+            cms_heavy_hitters_duckdb_sql,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        items = docs.select(F.lower(F.col("source")).alias("item"))
+        got = {
+            (r.item, r.est_count)
+            for r in cms_heavy_hitters(items, "item", threshold=5).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        sql = cms_heavy_hitters_duckdb_sql(
+            "SELECT lower(source) AS item FROM documents", "item", threshold=5
+        )
+        want = set(map(tuple, con.sql(sql).fetchall()))
+        assert got == want and len(got) >= 5
+
+
 class TestHllSketch:
     def test_estimate_within_error_band(self, spark):
         """m=256 registers → relative standard error ~6.5%; assert a
