@@ -216,6 +216,29 @@ def main() -> None:
               lambda: qs["doc_ngram_hll"](spark, sf_dir).collect(), runs=2)
         timed("doc_bigram_cms_heavy",
               lambda: qs["doc_bigram_cms_heavy"](spark, sf_dir).collect(), runs=2)
+
+        # CMS hot path: same counters through the Arrow gather (the
+        # literal-array plan above is the oracle-replayable spec)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from greatex_spark.functions.textstats import (  # noqa: PLC0415
+            normalize_for_fingerprint,
+        )
+        from greatex_spark.operators.cms import (  # noqa: PLC0415
+            cms_heavy_hitters_arrow,
+        )
+
+        def run_cms_arrow():
+            docs_cms = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            w_ = F.split(normalize_for_fingerprint(F.col("text")), " ")
+            idx_ = F.sequence(F.lit(0), F.greatest(F.size(w_) - 2, F.lit(0)))
+            grams_ = F.transform(
+                idx_, lambda i: F.array_join(F.slice(w_, i + 1, 2), " ")
+            )
+            items_ = docs_cms.select(F.explode(grams_).alias("bigram"))
+            cms_heavy_hitters_arrow(items_, "bigram", threshold=40).collect()
+
+        timed("doc_bigram_cms_arrow", run_cms_arrow, runs=2)
         # substring dedup benches the xxhash64 hot path (the md5 spec
         # family exists for the DuckDB twin, not for production scans)
         from greatex_spark.operators.substringdedup import (  # noqa: PLC0415

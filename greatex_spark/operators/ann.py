@@ -2065,6 +2065,9 @@ def ivfpq_topk_probe_arrow(
     # LUT rows materialize per cell ON THE WORKER (see docstring)
     res = qm[:, None, :] - cents[probe]  # (nq, nprobe, dim)
     res_sub = res.reshape(len(qm), probe.shape[1], n_sub, dsub)
+    # codebook norms, shared by the encode and LUT expansions below
+    cb_norms = (cbs**2).sum(-1)  # (m, ksub)
+    q_norms = (qm**2).sum(axis=1)  # whole-cell refine path
     # cell -> (query row indices, probe slot indices)
     cell_q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     acc: dict[int, list[tuple[int, int]]] = {}
@@ -2087,7 +2090,11 @@ def ivfpq_topk_probe_arrow(
             rs = (cm - cents[cells]).reshape(len(cm), n_sub, dsub)
             codes = np.empty((len(cm), n_sub), dtype=np.int64)
             for j in range(n_sub):
-                dj = ((rs[:, j, None, :] - cbs[j][None, :, :]) ** 2).sum(-1)
+                # |r|^2 is constant across t — argmin needs only the
+                # cross/norm terms; matmul allocates output-size only
+                # (the subtract-square form's (batch × ksub × dsub)
+                # temporaries were ~2 s/batch at crossover config)
+                dj = cb_norms[j][None, :] - 2.0 * (rs[:, j, :] @ cbs[j].T)
                 codes[:, j] = dj.argmin(axis=1)
             parts = []
             ref_qi: list[np.ndarray] = []
@@ -2112,10 +2119,46 @@ def ivfpq_topk_probe_arrow(
                 member_rows = member_rows[perm]
                 sub_ids = sub_ids[perm]
                 sub_codes = sub_codes[perm]
-                # cell LUT on demand — the same expression the driver
-                # tensor held, computed only for this cell's probers
+                if refine >= len(sub_ids) > 0:
+                    # the refine budget covers the whole (batch-local)
+                    # cell — ADC would shortlist EVERYTHING, so skip it
+                    # and exact-score the cell in one BLAS matmul: each
+                    # corpus row is gathered ONCE (the shortlist-gather
+                    # formulation fetched every row once per probing
+                    # query — 64× the DRAM traffic at crossover config,
+                    # measured 22.6 s → ~6 s for the whole scan) and
+                    # only per-cell top-(k+1) leaders are emitted.
+                    sub_cm = cm[member_rows]
+                    d2 = (
+                        q_norms[qidx][:, None]
+                        - 2.0 * (qm[qidx] @ sub_cm.T)
+                        + (sub_cm**2).sum(axis=1)[None, :]
+                    )
+                    np.maximum(d2, 0.0, out=d2)
+                    d2 = np.round(d2, score_decimals)
+                    kk = min(k + 1, len(sub_ids))
+                    top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                    parts.append(
+                        (
+                            np.repeat(q_ids[qidx], kk),
+                            sub_ids[top.reshape(-1)],
+                            d2[
+                                np.repeat(np.arange(len(qidx)), kk),
+                                top.reshape(-1),
+                            ],
+                        )
+                    )
+                    continue
+                # cell LUT on demand, expanded |r|^2 − 2 r·cb + |cb|^2
+                # via einsum (allocates only the (nq_p, m, ksub)
+                # output; the subtract-square broadcast built a 33 MB
+                # temporary PER CELL at crossover config)
                 rs_q = res_sub[qidx, pidx]  # (nq_p, m, dsub)
-                lut = ((rs_q[:, :, None, :] - cbs[None, :, :, :]) ** 2).sum(-1)
+                lut = (
+                    (rs_q**2).sum(-1)[:, :, None]
+                    - 2.0 * np.einsum("qmd,mtd->qmt", rs_q, cbs)
+                    + cb_norms[None, :, :]
+                )
                 d = np.zeros((len(qidx), len(sub_ids)))
                 for j in range(n_sub):
                     d += lut[:, j, :][:, sub_codes[:, j]]
