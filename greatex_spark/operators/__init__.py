@@ -24,7 +24,15 @@ from greatex_spark.operators.dsir import (  # noqa: F401
     dsir_sample,
     fit_hashed_lm,
 )
+from greatex_spark.operators.asof import asof_join  # noqa: F401
+from greatex_spark.operators.cms import (  # noqa: F401
+    cms_heavy_hitters,
+    cms_heavy_hitters_arrow,
+    cms_sketch,
+)
 from greatex_spark.operators.packing import pack_sequences  # noqa: F401
+from greatex_spark.operators.rangejoin import range_join  # noqa: F401
+from greatex_spark.operators.sketch import hll_distinct, ngram_hll  # noqa: F401
 from greatex_spark.operators.sampling import (  # noqa: F401
     domain_quota,
     stratified_sample,
